@@ -1,0 +1,298 @@
+"""Functional neural-net primitives (pure apply fns over param pytrees).
+
+Design: every module is a pair of functions — ``*_init(key, ...) -> params`` and
+``*_apply(params, x, ...) -> y`` — with params stored as plain nested dicts. This
+keeps the torch->JAX checkpoint converter a direct name mapping, makes modules
+trivially usable inside ``lax.scan``/``shard_map``, and leaves all state explicit.
+
+Conventions (TPU-native):
+  - Activations are channels-last: images NHWC, tokens [B, N, C].
+  - Linear weights are stored ``[in, out]`` (apply is ``x @ w + b``); the
+    converter transposes torch's ``[out, in]``.
+  - Conv weights are stored HWIO; the converter transposes torch's OIHW.
+  - Params are float32; hot-path compute may cast to bfloat16 at module entry.
+
+Numerical-parity notes vs the reference (PyTorch):
+  - ``layer_norm`` matches ``nn.LayerNorm`` (biased variance, eps inside sqrt).
+  - ``layer_norm_2d`` matches the channels-first LayerNorm2d of
+    ``sam2_train/modeling/sam2_utils.py:137-149`` (applied here over the last
+    axis of NHWC tensors, which is the same channel axis).
+  - ``interpolate`` matches ``torch.nn.functional.interpolate`` with
+    ``align_corners=False`` for bilinear/bicubic and exact ``nearest`` index
+    arithmetic for nearest.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# For float32 inputs, force exact (6-pass) MXU matmuls — default precision lets
+# XLA:TPU truncate fp32 operands to bf16, which breaks checkpoint parity. For
+# bfloat16 inputs (the hot path) this flag is a no-op, so there is no perf cost
+# where it matters.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    """Truncated normal on [-2*std, 2*std] matching ``torch.nn.init.trunc_normal_``."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def _fan_in_uniform(key, shape, fan_in, dtype=jnp.float32):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def linear_init(key, in_dim: int, out_dim: int, bias: bool = True):
+    """Matches ``nn.Linear`` default init: kaiming_uniform(a=sqrt(5)) on the weight
+    and U(-1/sqrt(fan_in), 1/sqrt(fan_in)) on the bias — both reduce to the same
+    fan-in uniform bound."""
+    kw, kb = jax.random.split(key)
+    p = {"w": _fan_in_uniform(kw, (in_dim, out_dim), in_dim)}
+    if bias:
+        p["b"] = _fan_in_uniform(kb, (out_dim,), in_dim)
+    return p
+
+
+def linear_apply(p, x):
+    y = jnp.matmul(x, p["w"].astype(x.dtype), precision=PRECISION)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def embedding_init(key, num: int, dim: int):
+    """Matches ``nn.Embedding`` default init (standard normal)."""
+    return {"w": jax.random.normal(key, (num, dim), jnp.float32)}
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int], bias: bool = True, groups: int = 1):
+    kh, kw = kernel
+    fan_in = in_ch // groups * kh * kw
+    k1, k2 = jax.random.split(key)
+    p = {"w": _fan_in_uniform(k1, (kh, kw, in_ch // groups, out_ch), fan_in)}
+    if bias:
+        p["b"] = _fan_in_uniform(k2, (out_ch,), fan_in)
+    return p
+
+
+def conv2d_apply(p, x, stride: Tuple[int, int] = (1, 1), padding="SAME_TORCH",
+                 explicit_padding: Optional[Tuple[int, int]] = None, groups: int = 1):
+    """NHWC conv. ``explicit_padding=(ph, pw)`` mirrors torch's symmetric int padding."""
+    if explicit_padding is not None:
+        pad = [(explicit_padding[0], explicit_padding[0]), (explicit_padding[1], explicit_padding[1])]
+    elif padding == "VALID":
+        pad = [(0, 0), (0, 0)]
+    else:
+        kh, kw = p["w"].shape[0], p["w"].shape[1]
+        pad = [(kh // 2, kh // 2), (kw // 2, kw // 2)]
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=stride,
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        precision=PRECISION,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv_transpose2d_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int], bias: bool = True):
+    kh, kw = kernel
+    fan_in = out_ch * kh * kw  # torch fan-in for ConvTranspose2d weight (in, out, kh, kw)
+    k1, k2 = jax.random.split(key)
+    # Stored as [kh, kw, out, in]: lax.conv_transpose(transpose_kernel=True) wants
+    # the *forward* conv's HWIO kernel, whose I is our out and O our in. The
+    # converter maps torch's (in, out, kh, kw) via transpose(2, 3, 1, 0).
+    p = {"w": _fan_in_uniform(k1, (kh, kw, out_ch, in_ch), fan_in)}
+    if bias:
+        p["b"] = _fan_in_uniform(k2, (out_ch,), fan_in)
+    return p
+
+
+def conv_transpose2d_apply(p, x, stride: Tuple[int, int]):
+    """Matches ``nn.ConvTranspose2d(kernel_size=stride, stride=stride)`` (no padding)."""
+    y = jax.lax.conv_transpose(
+        x,
+        p["w"].astype(x.dtype),
+        strides=stride,
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True,
+        precision=PRECISION,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm_init(dim: int):
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm_apply(p, x, eps: float = 1e-5):
+    """LayerNorm over the last axis; statistics in fp32 for bf16 safety."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+# LayerNorm2d of the reference normalizes the channel axis of NCHW tensors with
+# eps inside sqrt of the *biased* variance (sam2_utils.py:144-149). On NHWC that
+# is exactly layer_norm over the last axis but with eps=1e-6.
+def layer_norm_2d_apply(p, x, eps: float = 1e-6):
+    return layer_norm_apply(p, x, eps=eps)
+
+
+def mlp_init(key, input_dim: int, hidden_dim: int, output_dim: int, num_layers: int):
+    """SAM-style MLP (``sam2_utils.py:108-132``): num_layers Linear layers."""
+    dims = [input_dim] + [hidden_dim] * (num_layers - 1) + [output_dim]
+    keys = jax.random.split(key, num_layers)
+    return {"layers": [linear_init(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)]}
+
+
+def mlp_apply(p, x, activation: Callable = jax.nn.relu, sigmoid_output: bool = False):
+    n = len(p["layers"])
+    for i, lp in enumerate(p["layers"]):
+        x = linear_apply(lp, x)
+        if i < n - 1:
+            x = activation(x)
+    if sigmoid_output:
+        x = jax.nn.sigmoid(x)
+    return x
+
+
+def gelu(x):
+    """Exact (erf) GELU, matching ``nn.GELU()`` default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS = {"relu": jax.nn.relu, "gelu": gelu}
+
+
+# ---------------------------------------------------------------------------
+# Resize (torch F.interpolate parity)
+# ---------------------------------------------------------------------------
+
+
+def interpolate(x, size: Tuple[int, int], method: str = "bilinear", antialias: bool = False):
+    """Resize NHWC ``x`` to spatial ``size``.
+
+    Matches ``F.interpolate(..., align_corners=False)`` for bilinear/bicubic and
+    torch's ``nearest`` (floor of scaled source index). ``antialias=True``
+    matches torch's antialiased downsampling (both use the same triangle/cubic
+    filter scaling convention as jax.image).
+    """
+    B, H, W, C = x.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return x
+    if method == "nearest":
+        # torch nearest: src = floor(dst * H / h) (scale = in/out)
+        rows = jnp.floor(jnp.arange(h) * (H / h)).astype(jnp.int32)
+        cols = jnp.floor(jnp.arange(w) * (W / w)).astype(jnp.int32)
+        rows = jnp.clip(rows, 0, H - 1)
+        cols = jnp.clip(cols, 0, W - 1)
+        return x[:, rows][:, :, cols]
+    jax_method = {"bilinear": "linear", "bicubic": "cubic"}[method]
+    return jax.image.resize(x, (B, h, w, C), method=jax_method, antialias=antialias)
+
+
+def _torch_cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution weights for taps (-1, 0, 1, 2) at fractions ``t`` [N] -> [N, 4]."""
+    t = t.astype(np.float64)
+    w_m1 = a * (t + 1) ** 3 - 5 * a * (t + 1) ** 2 + 8 * a * (t + 1) - 4 * a
+    w_0 = (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+    w_1 = (a + 2) * (1 - t) ** 3 - (a + 3) * (1 - t) ** 2 + 1
+    w_2 = 1.0 - w_m1 - w_0 - w_1
+    return np.stack([w_m1, w_0, w_1, w_2], axis=-1)
+
+
+def bicubic_resize_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-side bicubic resize of [H, W, C] matching torch's
+    ``F.interpolate(mode="bicubic", align_corners=False)`` (a=-0.75 kernel,
+    clamped borders). Used for the static Hiera pos-embed interpolation
+    (``hieradet.py:272``) so the jitted graph never sees it."""
+
+    def resize_axis(arr, out_size, axis):
+        in_size = arr.shape[axis]
+        if in_size == out_size:
+            return arr
+        src = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+        i0 = np.floor(src).astype(np.int64)
+        t = src - i0
+        weights = _torch_cubic_weights(t)  # [out, 4]
+        taps = np.stack([np.clip(i0 + d, 0, in_size - 1) for d in (-1, 0, 1, 2)], axis=-1)
+        arr_m = np.moveaxis(arr, axis, 0)  # [in, ...]
+        gathered = arr_m[taps]  # [out, 4, ...]
+        w = weights.reshape(out_size, 4, *([1] * (arr_m.ndim - 1)))
+        out = (gathered * w).sum(axis=1)
+        return np.moveaxis(out, 0, axis)
+
+    y = resize_axis(x.astype(np.float64), out_h, 0)
+    y = resize_axis(y, out_w, 1)
+    return y.astype(x.dtype)
+
+
+def window_partition(x, window_size: int):
+    """[B, H, W, C] -> ([B*nW, ws, ws, C], (Hp, Wp)); pads bottom/right like
+    ``backbones/utils.py:16-38``."""
+    B, H, W, C = x.shape
+    pad_h = (window_size - H % window_size) % window_size
+    pad_w = (window_size - W % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // window_size, window_size, Wp // window_size, window_size, C)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, C)
+    return windows, (Hp, Wp)
+
+
+def window_unpartition(windows, window_size: int, pad_hw, hw):
+    """Inverse of :func:`window_partition` (``backbones/utils.py:41-62``)."""
+    Hp, Wp = pad_hw
+    H, W = hw
+    C = windows.shape[-1]
+    B = windows.shape[0] // (Hp * Wp // window_size // window_size)
+    x = windows.reshape(B, Hp // window_size, Wp // window_size, window_size, window_size, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W, :]
+
+
+def max_pool2d(x, kernel: Tuple[int, int], stride: Tuple[int, int]):
+    """NHWC max pool, ceil_mode=False (matches ``nn.MaxPool2d(kernel, stride)``)."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, kernel[0], kernel[1], 1),
+        (1, stride[0], stride[1], 1),
+        "VALID",
+    )
+
+
+def drop_path(key, x, drop_prob: float, deterministic: bool):
+    """Stochastic depth (``sam2_utils.py:88-103``); identity when deterministic."""
+    if deterministic or drop_prob == 0.0:
+        return x
+    keep = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape).astype(x.dtype)
+    return x * mask / keep
