@@ -1,0 +1,152 @@
+"""Hiera hierarchical ViT trunk (TPU-native rebuild of
+``sam2_train/modeling/backbones/hieradet.py``).
+
+Architecture: 7x7/stride-4 patch embed -> 4 stages of MultiScaleBlocks with
+window attention (window sizes per stage, a few global-attention blocks) and
+MaxPool q-pooling at stage transitions; windowed absolute position embedding
+(7x7 background embedding bicubic-interpolated + tiled window embedding,
+``hieradet.py:269-277``). Returns per-stage NHWC feature maps.
+
+All block shapes are static per (config, input size), so jit traces once; the
+per-block schedule (dims, heads, window size, q-stride) is precomputed in
+:meth:`HieraConfig.block_schedule`.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from medsam2_tpu.configs import HieraConfig
+from medsam2_tpu.core import layers
+from medsam2_tpu.ops.attention import attention
+
+
+def hiera_init(key, cfg: HieraConfig):
+    keys = jax.random.split(key, cfg.depth + 3)
+    params = {
+        "patch_embed": {
+            "proj": layers.conv2d_init(keys[0], 3, cfg.embed_dim, cfg.patch_kernel)
+        },
+        # Stored channels-last [h, w, C] (torch keeps [1, C, h, w]).
+        "pos_embed": jnp.zeros(
+            (*cfg.window_pos_embed_bkg_spatial_size, cfg.embed_dim), jnp.float32
+        ),
+        "pos_embed_window": jnp.zeros(
+            (cfg.window_spec[0], cfg.window_spec[0], cfg.embed_dim), jnp.float32
+        ),
+        "blocks": [],
+    }
+    params["pos_embed"] = layers.trunc_normal(keys[1], params["pos_embed"].shape)
+    params["pos_embed_window"] = layers.trunc_normal(keys[2], params["pos_embed_window"].shape)
+    for i, spec in enumerate(cfg.block_schedule()):
+        k = keys[i + 3]
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        dim, dim_out = spec["dim"], spec["dim_out"]
+        block = {
+            "norm1": layers.layer_norm_init(dim),
+            "attn": {
+                "qkv": layers.linear_init(k1, dim, dim_out * 3),
+                "proj": layers.linear_init(k2, dim_out, dim_out),
+            },
+            "norm2": layers.layer_norm_init(dim_out),
+            "mlp": layers.mlp_init(k3, dim_out, int(dim_out * cfg.mlp_ratio), dim_out, 2),
+        }
+        if dim != dim_out:
+            block["proj"] = layers.linear_init(k4, dim, dim_out)
+        params["blocks"].append(block)
+    return params
+
+
+def _get_pos_embed(params, h: int, w: int):
+    """Bicubic-interpolated background embed + tiled window embed (``hieradet.py:269-277``)."""
+    bkg = layers.bicubic_resize(params["pos_embed"][None], h, w)[0]  # [h, w, C]
+    win = params["pos_embed_window"]
+    wh, ww = win.shape[0], win.shape[1]
+    tiled = jnp.tile(win, (h // wh, w // ww, 1))
+    return bkg + tiled
+
+
+def _attention_block(bp, x, spec, q_stride):
+    """MultiScaleAttention (``hieradet.py:37-83``): fused qkv, optional q max-pooling."""
+    B, H, W, _ = x.shape
+    num_heads = spec["num_heads"]
+    dim_out = spec["dim_out"]
+    qkv = layers.linear_apply(bp["qkv"], x.reshape(B, H * W, -1))
+    qkv = qkv.reshape(B, H * W, 3, num_heads, dim_out // num_heads)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
+
+    if q_stride is not None:
+        q = q.reshape(B, H, W, dim_out)
+        q = layers.max_pool2d(q, q_stride, q_stride)
+        Hq, Wq = q.shape[1], q.shape[2]
+        q = q.reshape(B, Hq * Wq, num_heads, dim_out // num_heads)
+        H, W = Hq, Wq
+
+    out = attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+    ).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, W, dim_out)
+    return layers.linear_apply(bp["proj"], out)
+
+
+def _block_apply(bp, x, spec):
+    """MultiScaleBlock (``hieradet.py:136-168``)."""
+    window_size = spec["window_size"]
+    q_stride = spec["q_stride"]
+    dim, dim_out = spec["dim"], spec["dim_out"]
+
+    shortcut = x  # [B, H, W, C]
+    x = layers.layer_norm_apply(bp["norm1"], x, eps=1e-6)
+
+    if dim != dim_out:
+        shortcut = layers.linear_apply(bp["proj"], x)
+        if q_stride is not None:
+            shortcut = layers.max_pool2d(shortcut, q_stride, q_stride)
+
+    H, W = x.shape[1], x.shape[2]
+    pad_hw = (H, W)
+    if window_size > 0:
+        x, pad_hw = layers.window_partition(x, window_size)
+
+    x = _attention_block(bp["attn"], x, spec, q_stride)
+
+    out_ws = window_size
+    if q_stride is not None:
+        # Shapes changed under q-pooling: unpartition at the pooled geometry
+        # (window size and padded extent shrink by the stride, hieradet.py:152-159).
+        out_ws = window_size // q_stride[0]
+        H, W = shortcut.shape[1], shortcut.shape[2]
+        pad_h = (out_ws - H % out_ws) % out_ws if out_ws > 0 else 0
+        pad_w = (out_ws - W % out_ws) % out_ws if out_ws > 0 else 0
+        pad_hw = (H + pad_h, W + pad_w)
+    else:
+        H, W = shortcut.shape[1], shortcut.shape[2]
+
+    if window_size > 0:
+        x = layers.window_unpartition(x, out_ws, pad_hw, (H, W))
+
+    x = shortcut + x
+    x = x + layers.mlp_apply(bp["mlp"], layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
+                             activation=layers.gelu)
+    return x
+
+
+def hiera_apply(params, cfg: HieraConfig, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """x: [B, H, W, 3] NHWC image -> list of per-stage feature maps [B, h, w, C]."""
+    x = layers.conv2d_apply(
+        params["patch_embed"]["proj"], x, stride=cfg.patch_stride,
+        explicit_padding=cfg.patch_padding,
+    )
+    x = x + _get_pos_embed(params, x.shape[1], x.shape[2]).astype(x.dtype)
+
+    outputs = []
+    schedule = cfg.block_schedule()
+    stage_ends = set(cfg.stage_ends)
+    for i, (bp, spec) in enumerate(zip(params["blocks"], schedule)):
+        x = _block_apply(bp, x, spec)
+        if i in stage_ends:
+            outputs.append(x)
+    return outputs

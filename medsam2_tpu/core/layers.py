@@ -251,6 +251,33 @@ def bicubic_resize_np(x: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return y.astype(x.dtype)
 
 
+def bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """In-graph bicubic resize of [B, H, W, C] matching torch (a=-0.75,
+    align_corners=False). Tap indices/weights are static numpy (shape-only), so
+    under jit this lowers to two gathers + weighted sums — cheap and fusible."""
+
+    def axis_plan(in_size, out_size):
+        src = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+        i0 = np.floor(src).astype(np.int64)
+        w = _torch_cubic_weights(src - i0).astype(np.float32)  # [out, 4]
+        taps = np.stack([np.clip(i0 + d, 0, in_size - 1) for d in (-1, 0, 1, 2)], -1)
+        return taps, w
+
+    B, H, W, C = x.shape
+    if (H, W) == (out_h, out_w):
+        return x
+    taps_h, w_h = axis_plan(H, out_h)
+    taps_w, w_w = axis_plan(W, out_w)
+    y = x
+    if H != out_h:
+        g = y[:, taps_h.reshape(-1)].reshape(B, out_h, 4, W, -1)
+        y = jnp.einsum("bhtwc,ht->bhwc", g, jnp.asarray(w_h), precision=PRECISION)
+    if W != out_w:
+        g = y[:, :, taps_w.reshape(-1)].reshape(B, out_h, out_w, 4, -1)
+        y = jnp.einsum("bhwtc,wt->bhwc", g, jnp.asarray(w_w), precision=PRECISION)
+    return y
+
+
 def window_partition(x, window_size: int):
     """[B, H, W, C] -> ([B*nW, ws, ws, C], (Hp, Wp)); pads bottom/right like
     ``backbones/utils.py:16-38``."""
