@@ -1,0 +1,168 @@
+"""Projection attention + two-way transformer (rebuild of
+``sam2_train/modeling/sam/transformer.py``).
+
+``attn_apply`` is the reference's ``Attention`` (q/k/v/out projections with an
+optional internal downsample); ``rope_attn_apply`` adds axial RoPE with the
+``rope_k_repeat`` (tile per memory frame) and ``num_k_exclude_rope`` (skip
+object-pointer tokens) behaviours used by memory attention. The actual SDPA
+goes through :func:`medsam2_tpu.ops.attention.attention` (Pallas flash on TPU
+for long sequences; the reference force-disabled flash, ``transformer.py:22-25``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medsam2_tpu.core import layers
+from medsam2_tpu.core.pos_enc import apply_rope, axial_rope_cos_sin
+from medsam2_tpu.ops.attention import attention
+
+
+def attn_init(key, embedding_dim: int, num_heads: int, downsample_rate: int = 1,
+              kv_in_dim: Optional[int] = None):
+    internal = embedding_dim // downsample_rate
+    kv_in = kv_in_dim if kv_in_dim is not None else embedding_dim
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "q_proj": layers.linear_init(k1, embedding_dim, internal),
+        "k_proj": layers.linear_init(k2, kv_in, internal),
+        "v_proj": layers.linear_init(k3, kv_in, internal),
+        "out_proj": layers.linear_init(k4, internal, embedding_dim),
+    }
+
+
+def _split_heads(x, num_heads):
+    B, N, C = x.shape
+    return x.reshape(B, N, num_heads, C // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    B, H, N, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+
+def attn_apply(p, q, k, v, num_heads: int, kv_mask=None):
+    """q [B, Nq, Cq], k/v [B, Nk, Ckv] -> [B, Nq, Cq] (``transformer.py:239-263``)."""
+    qp = _split_heads(layers.linear_apply(p["q_proj"], q), num_heads)
+    kp = _split_heads(layers.linear_apply(p["k_proj"], k), num_heads)
+    vp = _split_heads(layers.linear_apply(p["v_proj"], v), num_heads)
+    out = attention(qp, kp, vp, kv_mask=kv_mask)
+    return layers.linear_apply(p["out_proj"], _merge_heads(out))
+
+
+def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
+                    rope_theta: float = 10000.0, rope_k_repeat: bool = False,
+                    num_k_exclude_rope: int = 0, kv_mask=None):
+    """RoPE attention (``transformer.py:266-331``).
+
+    ``q_hw``: the (w, h) spatial extent of the query tokens (row-major). The
+    last ``num_k_exclude_rope`` k tokens (object pointers) skip rotation; when
+    ``rope_k_repeat`` the q-grid tables tile across the k spatial tokens
+    (one tile per memory frame).
+    """
+    qp = _split_heads(layers.linear_apply(p["q_proj"], q), num_heads)
+    kp = _split_heads(layers.linear_apply(p["k_proj"], k), num_heads)
+    vp = _split_heads(layers.linear_apply(p["v_proj"], v), num_heads)
+
+    head_dim = qp.shape[-1]
+    w, h = q_hw
+    cos, sin = axial_rope_cos_sin(head_dim, w, h, rope_theta)
+    qp = apply_rope(qp, cos, sin)
+
+    nk = kp.shape[2]
+    num_k_rope = nk - num_k_exclude_rope
+    if num_k_rope > 0:
+        repeat = num_k_rope // qp.shape[2] if rope_k_repeat else 1
+        k_rot = apply_rope(kp[:, :, :num_k_rope], cos, sin, repeat=repeat)
+        kp = jnp.concatenate([k_rot, kp[:, :, num_k_rope:]], axis=2) \
+            if num_k_exclude_rope > 0 else k_rot
+
+    out = attention(qp, kp, vp, kv_mask=kv_mask)
+    return layers.linear_apply(p["out_proj"], _merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# TwoWayTransformer (transformer.py:28-196)
+# ---------------------------------------------------------------------------
+
+
+def two_way_block_init(key, embedding_dim: int, num_heads: int, mlp_dim: int,
+                       attention_downsample_rate: int = 2):
+    ks = jax.random.split(key, 5)
+    return {
+        "self_attn": attn_init(ks[0], embedding_dim, num_heads),
+        "norm1": layers.layer_norm_init(embedding_dim),
+        "cross_attn_token_to_image": attn_init(ks[1], embedding_dim, num_heads,
+                                               attention_downsample_rate),
+        "norm2": layers.layer_norm_init(embedding_dim),
+        "mlp": layers.mlp_init(ks[2], embedding_dim, mlp_dim, embedding_dim, 2),
+        "norm3": layers.layer_norm_init(embedding_dim),
+        "norm4": layers.layer_norm_init(embedding_dim),
+        "cross_attn_image_to_token": attn_init(ks[3], embedding_dim, num_heads,
+                                               attention_downsample_rate),
+    }
+
+
+def two_way_block_apply(p, queries, keys, query_pe, key_pe, num_heads: int,
+                        skip_first_layer_pe: bool):
+    if skip_first_layer_pe:
+        queries = attn_apply(p["self_attn"], queries, queries, queries, num_heads)
+    else:
+        q = queries + query_pe
+        queries = queries + attn_apply(p["self_attn"], q, q, queries, num_heads)
+    queries = layers.layer_norm_apply(p["norm1"], queries)
+
+    q = queries + query_pe
+    k = keys + key_pe
+    queries = queries + attn_apply(p["cross_attn_token_to_image"], q, k, keys, num_heads)
+    queries = layers.layer_norm_apply(p["norm2"], queries)
+
+    queries = queries + layers.mlp_apply(p["mlp"], queries)
+    queries = layers.layer_norm_apply(p["norm3"], queries)
+
+    q = queries + query_pe
+    k = keys + key_pe
+    keys = keys + attn_apply(p["cross_attn_image_to_token"], k, q, queries, num_heads)
+    keys = layers.layer_norm_apply(p["norm4"], keys)
+    return queries, keys
+
+
+def two_way_transformer_init(key, depth: int, embedding_dim: int, num_heads: int,
+                             mlp_dim: int, attention_downsample_rate: int = 2):
+    ks = jax.random.split(key, depth + 1)
+    return {
+        "layers": [
+            two_way_block_init(ks[i], embedding_dim, num_heads, mlp_dim,
+                               attention_downsample_rate)
+            for i in range(depth)
+        ],
+        "final_attn_token_to_image": attn_init(ks[depth], embedding_dim, num_heads,
+                                               attention_downsample_rate),
+        "norm_final_attn": layers.layer_norm_init(embedding_dim),
+    }
+
+
+def two_way_transformer_apply(p, image_embedding, image_pe, point_embedding,
+                              num_heads: int):
+    """image_embedding/image_pe [B, H, W, C]; point_embedding [B, N, C]
+    -> (queries [B, N, C], keys [B, HW, C]) (``transformer.py:74-118``)."""
+    B, H, W, C = image_embedding.shape
+    keys = image_embedding.reshape(B, H * W, C)
+    key_pe = image_pe.reshape(B, H * W, C).astype(keys.dtype)
+
+    queries = point_embedding
+    for i, lp in enumerate(p["layers"]):
+        queries, keys = two_way_block_apply(
+            lp, queries, keys, point_embedding, key_pe, num_heads,
+            skip_first_layer_pe=(i == 0),
+        )
+
+    q = queries + point_embedding
+    k = keys + key_pe
+    queries = queries + attn_apply(p["final_attn_token_to_image"], q, k, keys, num_heads)
+    queries = layers.layer_norm_apply(p["norm_final_attn"], queries)
+    return queries, keys

@@ -1,0 +1,239 @@
+"""Fixed-shape temporal memory bank — the XLA-native replacement for the
+reference's dict-driven inference state.
+
+The reference keeps ``output_dict = {cond_frame_outputs: {t: ...},
+non_cond_frame_outputs: {t: ...}}`` and selects memories with host-side Python
+(``sam2_base.py:494-663``, ``sam2_video_predictor.py:72-101``). On TPU that
+becomes a pytree of fixed-shape ring buffers carried through ``lax.scan``:
+
+- conditioning memories: append-once slots [B, Mc, P, D] (prompted frames),
+- non-conditioning memories: ring of the last R frames, slot = t % R,
+- object pointers: cond slots + a ring of the last (max_obj_ptrs - 1) frames,
+
+each with stored frame indices and validity masks. Readout reproduces the
+reference's t_pos/stride-r selection arithmetic (``sam2_base.py:529-564``)
+as gathers; correctness does not depend on token ordering because memory
+attention is permutation-invariant given per-token positional embeddings
+(spatial RoPE tables tile identically per frame; t_pos embeddings travel with
+their slots; pointer tokens are RoPE-excluded).
+
+Capacity caps (vs the reference's unbounded dicts): ``max_cond_frames`` bounds
+prompted frames per propagation (the reference grows memory without bound as
+prompts accumulate — at 8 prompts + 6 recent frames the attention already spans
+~57k tokens at 1024 px). Cond writes beyond the cap overwrite the last slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medsam2_tpu.configs import SAM2Config
+
+
+@dataclasses.dataclass(frozen=True)
+class BankSpec:
+    """Static geometry of the memory bank."""
+
+    num_maskmem: int          # total frames attended (1 current-adjacent + 6 past)
+    max_cond_frames: int      # static cap on conditioning (prompted) frames
+    mem_spatial: int          # P: tokens per memory frame (H*W of memory features)
+    mem_dim: int              # D: memory channel dim (64)
+    hidden_dim: int           # C: obj ptr dim (256)
+    max_obj_ptrs: int         # max pointers in cross-attention (16)
+    temporal_stride: int = 1  # the `r` eval stride
+
+    @classmethod
+    def from_config(cls, cfg: SAM2Config, max_cond_frames: int = 8):
+        s = cfg.image_size // cfg.backbone_stride
+        return cls(
+            num_maskmem=cfg.num_maskmem,
+            max_cond_frames=max_cond_frames,
+            mem_spatial=s * s,
+            mem_dim=cfg.mem_dim,
+            hidden_dim=cfg.hidden_dim,
+            max_obj_ptrs=cfg.max_obj_ptrs_in_encoder,
+            temporal_stride=cfg.memory_temporal_stride_for_eval,
+        )
+
+    @property
+    def noncond_ring(self) -> int:
+        # Must hold every frame the stride-r selection can reach back to:
+        # t_pos=1 reaches (num_maskmem - 2) * r + 1 frames back (+ slack for t-1).
+        return max((self.num_maskmem - 2) * self.temporal_stride + 2, self.num_maskmem - 1)
+
+    @property
+    def ptr_ring(self) -> int:
+        return max(self.max_obj_ptrs - 1, 1)
+
+    @property
+    def num_frames_attended(self) -> int:
+        return self.max_cond_frames + self.num_maskmem - 1
+
+    @property
+    def num_spatial_tokens(self) -> int:
+        return self.num_frames_attended * self.mem_spatial
+
+    @property
+    def tokens_per_ptr(self) -> int:
+        return self.hidden_dim // self.mem_dim
+
+    @property
+    def num_ptr_tokens(self) -> int:
+        return self.max_obj_ptrs * self.tokens_per_ptr
+
+    @property
+    def total_tokens(self) -> int:
+        return self.num_spatial_tokens + self.num_ptr_tokens
+
+
+def init_bank(spec: BankSpec, batch: int, dtype=jnp.float32):
+    """Empty bank pytree for ``batch`` objects."""
+    B = batch
+    return {
+        "cond_feats": jnp.zeros((B, spec.max_cond_frames, spec.mem_spatial, spec.mem_dim), dtype),
+        "cond_frame_idx": -jnp.ones((B, spec.max_cond_frames), jnp.int32),
+        "cond_obj_ptr": jnp.zeros((B, spec.max_cond_frames, spec.hidden_dim), dtype),
+        "cond_count": jnp.zeros((B,), jnp.int32),
+        "noncond_feats": jnp.zeros((B, spec.noncond_ring, spec.mem_spatial, spec.mem_dim), dtype),
+        "noncond_frame_idx": -jnp.ones((B, spec.noncond_ring), jnp.int32),
+        "ptr_ring": jnp.zeros((B, spec.ptr_ring, spec.hidden_dim), dtype),
+        "ptr_frame_idx": -jnp.ones((B, spec.ptr_ring), jnp.int32),
+    }
+
+
+def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond: bool):
+    """Store a frame's memory. ``frame_idx`` scalar int32 (same for the batch);
+    ``maskmem_feats`` [B, P, D]; ``obj_ptr`` [B, C]; ``is_cond`` static."""
+    bank = dict(bank)
+    frame_idx = jnp.asarray(frame_idx, jnp.int32)
+    if is_cond:
+        slot = jnp.minimum(bank["cond_count"][0], spec.max_cond_frames - 1)
+        bank["cond_feats"] = jax.lax.dynamic_update_index_in_dim(
+            bank["cond_feats"], maskmem_feats.astype(bank["cond_feats"].dtype), slot, 1)
+        bank["cond_frame_idx"] = jax.lax.dynamic_update_index_in_dim(
+            bank["cond_frame_idx"], jnp.full((bank["cond_frame_idx"].shape[0],), frame_idx), slot, 1)
+        bank["cond_obj_ptr"] = jax.lax.dynamic_update_index_in_dim(
+            bank["cond_obj_ptr"], obj_ptr.astype(bank["cond_obj_ptr"].dtype), slot, 1)
+        bank["cond_count"] = jnp.minimum(bank["cond_count"] + 1, spec.max_cond_frames)
+    else:
+        slot = jnp.remainder(frame_idx, spec.noncond_ring)
+        bank["noncond_feats"] = jax.lax.dynamic_update_index_in_dim(
+            bank["noncond_feats"], maskmem_feats.astype(bank["noncond_feats"].dtype), slot, 1)
+        bank["noncond_frame_idx"] = jax.lax.dynamic_update_index_in_dim(
+            bank["noncond_frame_idx"], jnp.full((bank["noncond_frame_idx"].shape[0],), frame_idx), slot, 1)
+        pslot = jnp.remainder(frame_idx, spec.ptr_ring)
+        bank["ptr_ring"] = jax.lax.dynamic_update_index_in_dim(
+            bank["ptr_ring"], obj_ptr.astype(bank["ptr_ring"].dtype), pslot, 1)
+        bank["ptr_frame_idx"] = jax.lax.dynamic_update_index_in_dim(
+            bank["ptr_frame_idx"], jnp.full((bank["ptr_frame_idx"].shape[0],), frame_idx), pslot, 1)
+    return bank
+
+
+def _noncond_target_frames(spec: BankSpec, frame_idx, track_in_reverse: bool):
+    """The reference's stride-r previous-frame arithmetic (``sam2_base.py:535-558``)
+    for t_pos = 1..num_maskmem-1, vectorized. Returns [num_maskmem-1] int32."""
+    r = spec.temporal_stride
+    t_pos = jnp.arange(1, spec.num_maskmem, dtype=jnp.int32)
+    t_rel = spec.num_maskmem - t_pos
+    if not track_in_reverse:
+        last = frame_idx - 1
+        strided = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
+    else:
+        last = frame_idx + 1
+        strided = -((-(frame_idx + 2)) // r) * r + (t_rel - 2) * r
+    return jnp.where(t_rel == 1, last, strided)
+
+
+def read_bank(
+    spec: BankSpec,
+    bank,
+    frame_idx,
+    maskmem_tpos_enc: jnp.ndarray,   # [num_maskmem, D] learned temporal embeddings
+    spatial_pos: jnp.ndarray,        # [P, D] sine pos enc of memory features
+    track_in_reverse: bool = False,
+    obj_ptrs_in_past_only: bool = False,
+    num_frames: int = 2 ** 30,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """Assemble the fixed-shape memory for cross-attention at ``frame_idx``.
+
+    Returns (memory [B, T, D], memory_pos [B, T, D], valid [B, T] bool,
+    num_obj_ptr_tokens static int). T = spec.total_tokens.
+    """
+    B = bank["cond_feats"].shape[0]
+    P, D = spec.mem_spatial, spec.mem_dim
+    frame_idx = jnp.asarray(frame_idx, jnp.int32)
+
+    # --- conditioning frames (t_pos = 0) ---
+    cond_valid = bank["cond_frame_idx"] >= 0                         # [B, Mc]
+    cond_feats = bank["cond_feats"]                                  # [B, Mc, P, D]
+    cond_tpos = maskmem_tpos_enc[spec.num_maskmem - 1]               # [D]
+
+    # --- non-conditioning frames (t_pos = 1..num_maskmem-1) ---
+    targets = _noncond_target_frames(spec, frame_idx, track_in_reverse)  # [F]
+    slots = jnp.remainder(jnp.clip(targets, 0, None), spec.noncond_ring)
+    nc_feats = jnp.take(bank["noncond_feats"], slots, axis=1)        # [B, F, P, D]
+    stored = jnp.take(bank["noncond_frame_idx"], slots, axis=1)      # [B, F]
+    nc_valid = (stored == targets[None, :]) & (targets[None, :] >= 0)
+    # t_pos k gets embedding [num_maskmem - k - 1] (sam2_base.py:577-579)
+    tpos_idx = spec.num_maskmem - jnp.arange(1, spec.num_maskmem) - 1
+    nc_tpos = maskmem_tpos_enc[tpos_idx]                             # [F, D]
+
+    feats = jnp.concatenate([cond_feats, nc_feats], axis=1)          # [B, Fa, P, D]
+    frame_valid = jnp.concatenate([cond_valid, nc_valid], axis=1)    # [B, Fa]
+    tpos = jnp.concatenate(
+        [jnp.broadcast_to(cond_tpos[None], (spec.max_cond_frames, D)), nc_tpos], axis=0
+    )                                                                # [Fa, D]
+
+    Fa = spec.num_frames_attended
+    memory_sp = feats.reshape(B, Fa * P, D)
+    pos_sp = (spatial_pos[None, :, :] + tpos[:, None, :]).reshape(1, Fa * P, D)
+    pos_sp = jnp.broadcast_to(pos_sp, (B, Fa * P, D)).astype(memory_sp.dtype)
+    valid_sp = jnp.repeat(frame_valid, P, axis=1)
+
+    # --- object pointers ---
+    # cond pointers (optionally only past frames, sam2_base.py:587-594)
+    cond_ptr_valid = cond_valid
+    if obj_ptrs_in_past_only:
+        if track_in_reverse:
+            cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] >= frame_idx)
+        else:
+            cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] <= frame_idx)
+    # non-cond pointers from the last (max_obj_ptrs - 1) frames
+    t_diff = jnp.arange(1, spec.max_obj_ptrs, dtype=jnp.int32)
+    ptr_targets = frame_idx + t_diff if track_in_reverse else frame_idx - t_diff
+    ptr_in_range = (ptr_targets >= 0) & (ptr_targets < num_frames)
+    pslots = jnp.remainder(jnp.clip(ptr_targets, 0, None), spec.ptr_ring)
+    ring_ptrs = jnp.take(bank["ptr_ring"], pslots, axis=1)           # [B, F-1, C]
+    ring_stored = jnp.take(bank["ptr_frame_idx"], pslots, axis=1)
+    ring_valid = (ring_stored == ptr_targets[None, :]) & ptr_in_range[None, :]
+    # A frame can be both cond and in the ptr window; the reference takes the
+    # cond pointer and skips the dict fallback — dedupe by masking ring hits
+    # that match any valid cond frame index.
+    dup = (ring_stored[:, :, None] == bank["cond_frame_idx"][:, None, :]) & cond_ptr_valid[:, None, :]
+    ring_valid = ring_valid & ~jnp.any(dup, axis=-1)
+
+    # Cap total pointers at max_obj_ptrs (cond first, then nearest ring frames):
+    all_ptrs = jnp.concatenate([bank["cond_obj_ptr"], ring_ptrs], axis=1)  # [B, Mc+F-1, C]
+    all_valid = jnp.concatenate([cond_ptr_valid, ring_valid], axis=1)
+    order = jnp.cumsum(all_valid.astype(jnp.int32), axis=1)
+    all_valid = all_valid & (order <= spec.max_obj_ptrs)
+    # compress to the first max_obj_ptrs valid entries (stable gather by rank)
+    rank = jnp.where(all_valid, order - 1, spec.max_obj_ptrs)        # [B, Nall]
+    Nall = all_ptrs.shape[1]
+    onehot = jax.nn.one_hot(rank, spec.max_obj_ptrs, axis=-1, dtype=all_ptrs.dtype)  # [B, Nall, Mp]
+    ptrs = jnp.einsum("bnc,bnm->bmc", all_ptrs, onehot)              # [B, Mp, C]
+    ptr_valid = jnp.any(onehot > 0, axis=1)                          # [B, Mp]
+
+    tok = spec.tokens_per_ptr
+    ptr_tokens = ptrs.reshape(B, spec.max_obj_ptrs, tok, D).reshape(B, spec.num_ptr_tokens, D)
+    ptr_token_valid = jnp.repeat(ptr_valid, tok, axis=1)
+    ptr_pos = jnp.zeros((B, spec.num_ptr_tokens, D), memory_sp.dtype)
+
+    memory = jnp.concatenate([memory_sp, ptr_tokens.astype(memory_sp.dtype)], axis=1)
+    memory_pos = jnp.concatenate([pos_sp, ptr_pos], axis=1)
+    valid = jnp.concatenate([valid_sp, ptr_token_valid], axis=1)
+    return memory, memory_pos, valid, spec.num_ptr_tokens

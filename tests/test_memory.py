@@ -1,0 +1,154 @@
+"""Tests for the fixed-shape memory bank (vs the reference's dict-based
+selection logic re-derived as a python oracle) and memory attention masking."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from medsam2_tpu.configs import MemoryAttentionConfig
+from medsam2_tpu.core import memory as mem
+from medsam2_tpu.state import memory_bank as mb
+
+
+def small_spec(num_maskmem=3, max_cond=2, r=1, max_ptrs=4):
+    return mb.BankSpec(
+        num_maskmem=num_maskmem, max_cond_frames=max_cond, mem_spatial=4,
+        mem_dim=2, hidden_dim=4, max_obj_ptrs=max_ptrs, temporal_stride=r)
+
+
+def oracle_noncond_targets(frame_idx, num_maskmem, r, reverse=False):
+    """Reference arithmetic, sam2_base.py:535-558, as a plain python loop."""
+    out = []
+    for t_pos in range(1, num_maskmem):
+        t_rel = num_maskmem - t_pos
+        if t_rel == 1:
+            prev = frame_idx + t_rel if reverse else frame_idx - t_rel
+        else:
+            if not reverse:
+                prev = ((frame_idx - 2) // r) * r - (t_rel - 2) * r
+            else:
+                prev = -(-(frame_idx + 2) // r) * r + (t_rel - 2) * r
+        out.append(prev)
+    return out
+
+
+@pytest.mark.parametrize("r", [1, 2, 3])
+@pytest.mark.parametrize("frame_idx", [2, 5, 9, 17])
+def test_noncond_target_arithmetic(r, frame_idx):
+    spec = small_spec(num_maskmem=5, r=r)
+    got = np.asarray(mb._noncond_target_frames(spec, jnp.int32(frame_idx), False))
+    want = oracle_noncond_targets(frame_idx, 5, r)
+    np.testing.assert_array_equal(got, want)
+    got_rev = np.asarray(mb._noncond_target_frames(spec, jnp.int32(frame_idx), True))
+    want_rev = oracle_noncond_targets(frame_idx, 5, r, reverse=True)
+    np.testing.assert_array_equal(got_rev, want_rev)
+
+
+def write_frames(spec, bank, frames, cond_frames):
+    for f in frames:
+        feats = jnp.full((1, spec.mem_spatial, spec.mem_dim), float(f))
+        ptr = jnp.full((1, spec.hidden_dim), float(f))
+        bank = mb.write_bank(spec, bank, f, feats, ptr, is_cond=(f in cond_frames))
+    return bank
+
+
+def decode_read(spec, bank, frame_idx, tpos, num_frames=2 ** 30):
+    spatial_pos = jnp.zeros((spec.mem_spatial, spec.mem_dim))
+    memory, pos, valid, nptr = mb.read_bank(
+        spec, bank, frame_idx, tpos, spatial_pos, num_frames=num_frames)
+    P = spec.mem_spatial
+    frames = []
+    for s in range(spec.num_frames_attended):
+        sl = slice(s * P, (s + 1) * P)
+        if bool(valid[0, sl.start]):
+            frames.append((float(memory[0, sl.start, 0]),   # stored frame id
+                           float(pos[0, sl.start, 0])))      # tpos embedding value
+    ptr_region = memory[0, spec.num_spatial_tokens:]
+    ptr_valid = valid[0, spec.num_spatial_tokens:]
+    tok = spec.tokens_per_ptr
+    ptrs = [float(ptr_region[i * tok, 0]) for i in range(spec.max_obj_ptrs)
+            if bool(ptr_valid[i * tok])]
+    return frames, ptrs
+
+
+def test_bank_selection_r1():
+    spec = small_spec(num_maskmem=3, max_cond=2, r=1, max_ptrs=4)
+    bank = mb.init_bank(spec, 1)
+    # tpos embedding: value = slot index, distinguishable
+    tpos = jnp.arange(spec.num_maskmem, dtype=jnp.float32)[:, None] * jnp.ones((1, spec.mem_dim))
+    bank = write_frames(spec, bank, range(6), cond_frames={0})
+
+    frames, ptrs = decode_read(spec, bank, 6, tpos)
+    # cond frame 0 at t_pos=0 -> embedding index num_maskmem-1 = 2
+    # non-cond: t_pos=1 -> frame 4 (emb idx 1), t_pos=2 -> frame 5 (emb idx 0)
+    assert sorted(frames) == [(0.0, 2.0), (4.0, 1.0), (5.0, 0.0)]
+    # pointers: cond 0 + frames 5, 4, 3 (t_diff 1..3)
+    assert sorted(ptrs) == [0.0, 3.0, 4.0, 5.0]
+
+
+def test_bank_selection_early_frame():
+    spec = small_spec(num_maskmem=3, max_cond=2, r=1, max_ptrs=4)
+    bank = mb.init_bank(spec, 1)
+    tpos = jnp.arange(spec.num_maskmem, dtype=jnp.float32)[:, None] * jnp.ones((1, spec.mem_dim))
+    bank = write_frames(spec, bank, [0], cond_frames={0})
+    frames, ptrs = decode_read(spec, bank, 1, tpos)
+    # only the cond frame exists; frame -1 / 0 non-cond slots are invalid
+    assert frames == [(0.0, 2.0)]
+    assert ptrs == [0.0]  # cond ptr only; ring empty
+
+
+def test_bank_ptr_dedupe_and_window():
+    spec = small_spec(num_maskmem=3, max_cond=2, r=1, max_ptrs=3)
+    bank = mb.init_bank(spec, 1)
+    tpos = jnp.zeros((spec.num_maskmem, spec.mem_dim))
+    # frame 3 is cond AND within the ptr window of frame 4 -> must not duplicate
+    bank = write_frames(spec, bank, [0, 1, 2], cond_frames={0})
+    bank = write_frames(spec, bank, [3], cond_frames={3})
+    frames, ptrs = decode_read(spec, bank, 4, tpos)
+    assert len(ptrs) == len(set(ptrs))
+    assert set(ptrs) <= {0.0, 1.0, 2.0, 3.0}
+    assert len(ptrs) <= spec.max_obj_ptrs
+
+
+def test_bank_num_frames_bound():
+    spec = small_spec(num_maskmem=3, max_cond=1, r=1, max_ptrs=4)
+    bank = mb.init_bank(spec, 1)
+    tpos = jnp.zeros((spec.num_maskmem, spec.mem_dim))
+    bank = write_frames(spec, bank, [0, 1, 2], cond_frames={0})
+    # num_frames=3 restricts ptr window (reference: min(num_frames, max_obj_ptrs))
+    _, ptrs = decode_read(spec, bank, 2, tpos, num_frames=3)
+    assert set(ptrs) == {0.0, 1.0}
+
+
+def test_memory_attention_mask_invariance(rng):
+    """Garbage in masked memory slots must not change the output."""
+    cfg = MemoryAttentionConfig(d_model=32, num_layers=2, dim_feedforward=64,
+                                kv_in_dim=8, rope_feat_sizes=(4, 4))
+    params = mem.memory_attention_init(jax.random.PRNGKey(0), cfg)
+    B, N, M = 1, 16, 24  # 16 q tokens (4x4), 2 frames of 8? -> use spatial 16*1 + 8 ptr
+    curr = jnp.asarray(rng.standard_normal((B, N, 32)).astype(np.float32))
+    curr_pos = jnp.asarray(rng.standard_normal((B, N, 32)).astype(np.float32))
+    memory = jnp.asarray(rng.standard_normal((B, 2 * N + 8, 8)).astype(np.float32))
+    mpos = jnp.asarray(rng.standard_normal((B, 2 * N + 8, 8)).astype(np.float32))
+    valid = jnp.ones((B, 2 * N + 8), bool)
+    valid = valid.at[:, N:2 * N].set(False)  # second frame invalid
+    valid = valid.at[:, 2 * N + 4:].set(False)  # half the ptr tokens invalid
+
+    out1 = mem.memory_attention_apply(params, cfg, curr, memory, curr_pos, mpos,
+                                      q_hw=(4, 4), num_obj_ptr_tokens=8, kv_mask=valid)
+    garbage = memory.at[:, N:2 * N].set(1e3).at[:, 2 * N + 4:].set(-1e3)
+    out2 = mem.memory_attention_apply(params, cfg, curr, garbage, curr_pos, mpos,
+                                      q_hw=(4, 4), num_obj_ptr_tokens=8, kv_mask=valid)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_memory_encoder_shapes(rng):
+    from medsam2_tpu.configs import MemoryEncoderConfig
+    cfg = MemoryEncoderConfig()
+    params = mem.memory_encoder_init(jax.random.PRNGKey(1), cfg)
+    pix = jnp.asarray(rng.standard_normal((2, 4, 4, 256)).astype(np.float32))
+    masks = jnp.asarray(rng.standard_normal((2, 64, 64, 1)).astype(np.float32))
+    feats, pos = mem.memory_encoder_apply(params, cfg, pix, masks)
+    assert feats.shape == (2, 4, 4, 64)
+    assert pos.shape == (4, 4, 64)
