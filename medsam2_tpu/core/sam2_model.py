@@ -151,10 +151,10 @@ def forward_sam_heads(
     )
 
     if cfg.pred_obj_scores:
-        is_obj_appearing = object_score_logits > 0
+        is_obj_appearing = object_score_logits > 0  # [N, 1]
         # Hard choice between obj/no-obj for spatial memories (sam2_base.py:354-363)
         low_res_multimasks = jnp.where(
-            is_obj_appearing[:, None, :], low_res_multimasks, NO_OBJ_SCORE)
+            is_obj_appearing[:, :, None, None], low_res_multimasks, NO_OBJ_SCORE)
 
     low_res_multimasks = low_res_multimasks.astype(jnp.float32)
     # NHWC resize expects channels-last; masks are [B, M, h, w]

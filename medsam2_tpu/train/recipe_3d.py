@@ -1,0 +1,215 @@
+"""3D (CT-as-video) training recipe — the TPU-native ``train_3d.py`` engine.
+
+Reference semantics (``func_3d/function.py:50-196``, ``train_3d.py:34-54``):
+prompt every ``prompt_freq``-th frame for every object (bbox/click; missing
+object => zero-mask prompt), propagate through the memory system, then
+BCEWithLogits(pos_weight=2) per (frame, object) split into *prompt* vs
+*non-prompt* losses; two Adam optimizers — mask decoder at 1e-4 stepped with
+d(prompt + non_prompt) (the reference's accumulated grads at ``optimizer1.step``),
+memory path (obj_ptr_proj, memory encoder/attention, mask_downsample) at 1e-8
+with d(non_prompt) only (``:182-191``).
+
+TPU redesign: the whole volume pipeline is one pure function — preflight over
+static prompt frames, ``lax.scan`` (rematerialized) over the remaining frames —
+vmapped over a volume batch and differentiated with a single forward + two
+vjp pulls (replacing ``retain_graph=True`` double-backward).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from medsam2_tpu.configs import SAM2Config
+from medsam2_tpu.core import sam2_model
+from medsam2_tpu.state import memory_bank as mb
+from medsam2_tpu.train.losses import bce_with_logits
+from medsam2_tpu.api.video_predictor import _encode_frame, _expand_to_objects, _prompt_step
+
+
+@dataclasses.dataclass(frozen=True)
+class Recipe3DConfig:
+    video_length: int = 8
+    prompt_freq: int = 2
+    num_objects: int = 2          # static object slots (pad with zero-mask objects)
+    lr_sam: float = 1e-4
+    lr_mem: float = 1e-8
+    pos_weight: float = 2.0
+    max_cond_frames: int = 8
+    # multimask on prompt frames: True for single-click prompting, False for
+    # bbox (2 points) — mirrors SAM2Base._use_multimask with the preset limits
+    multimask_for_prompts: bool = False
+
+    @property
+    def prompt_frames(self) -> Tuple[int, ...]:
+        return tuple(range(0, self.video_length, self.prompt_freq))
+
+
+def _param_labels(params, cfg: SAM2Config):
+    """Label each leaf 'sam' (mask decoder), 'mem' (memory path) or 'frozen',
+    matching the reference param groups (train_3d.py:34-46)."""
+    def label_tree(tree, label):
+        return jax.tree_util.tree_map(lambda _: label, tree)
+
+    labels = {k: label_tree(v, "frozen") for k, v in params.items()}
+    labels["sam_mask_decoder"] = label_tree(params["sam_mask_decoder"], "sam")
+    for k in ("obj_ptr_proj", "memory_encoder", "memory_attention", "mask_downsample"):
+        if k in params:
+            labels[k] = label_tree(params[k], "mem")
+    return labels
+
+
+def make_optimizers(params, cfg: SAM2Config, rcfg: Recipe3DConfig):
+    labels = _param_labels(params, cfg)
+    tx = optax.multi_transform(
+        {
+            "sam": optax.adam(rcfg.lr_sam, b1=0.9, b2=0.999, eps=1e-8),
+            "mem": optax.adam(rcfg.lr_mem, b1=0.9, b2=0.999, eps=1e-8),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx, labels
+
+
+def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConfig,
+                  batch: Dict):
+    """Losses for ONE volume.
+
+    batch (single volume):
+      images        [T, S, S, 3]  normalized
+      gt_masks      [T, O, S, S]  float 0/1
+      prompt_coords [F, O, P, 2]  model-space (x, y)
+      prompt_labels [F, O, P]     int (-1 pad; 2/3 for bbox corners)
+      prompt_use_mask [F, O]      bool: True = zero-mask prompt fallback
+      obj_valid     [O]           bool: real object vs padding slot
+
+    Returns (prompt_loss, non_prompt_loss) scalars.
+    """
+    T = rcfg.video_length
+    O = rcfg.num_objects
+    prompt_frames = rcfg.prompt_frames
+    images = batch["images"]
+    gt = batch["gt_masks"]
+    obj_valid = batch["obj_valid"].astype(jnp.float32)  # [O]
+    S = cfg.image_size
+
+    bank = mb.init_bank(spec, O)
+
+    def frame_loss(high_res_masks, frame_gt):
+        # high_res_masks [O, 1, S, S] logits; frame_gt [O, S, S]
+        per = bce_with_logits(high_res_masks[:, 0], frame_gt, rcfg.pos_weight)
+        per = per.mean(axis=(1, 2))  # [O]
+        return jnp.sum(per * obj_valid)
+
+    # --- preflight: prompt frames (cond memories) ---
+    prompt_loss = 0.0
+    for i, f in enumerate(prompt_frames):
+        out, bank = _prompt_step(
+            params, images, bank, jnp.int32(f),
+            batch["prompt_coords"][i], batch["prompt_labels"][i],
+            jnp.zeros((O, S, S, 1), jnp.float32),
+            batch["prompt_use_mask"][i],
+            cfg=cfg, spec=spec, multimask_output=rcfg.multimask_for_prompts,
+            is_eval=False,
+            num_frames=T,
+        )
+        prompt_loss = prompt_loss + frame_loss(out["pred_masks_high_res"], gt[f])
+
+    # --- scan over non-prompt frames ---
+    non_prompt_frames = [t for t in range(T) if t not in prompt_frames]
+    if non_prompt_frames:
+        frame_ids = jnp.asarray(non_prompt_frames, jnp.int32)
+        gt_np = gt[jnp.asarray(non_prompt_frames)]
+
+        @jax.checkpoint
+        def body(bank, xs):
+            frame_idx, frame_gt = xs
+            frame = jax.lax.dynamic_index_in_dim(images, frame_idx, 0, keepdims=True)
+            feats, pos = _encode_frame(params, frame, cfg=cfg)
+            feats, pos = _expand_to_objects(feats, pos, O)
+            out, bank = sam2_model.track_step(
+                params, cfg, spec, bank, frame_idx,
+                is_init_cond_frame=False,
+                current_vision_feats=feats, current_vision_pos=pos,
+                multimask_output=sam2_model.use_multimask(cfg, False, 0),
+                run_mem_encoder=True, is_cond_frame=False,
+                num_frames=T, is_eval=False,
+            )
+            return bank, frame_loss(out["pred_masks_high_res"], frame_gt)
+
+        _, losses = jax.lax.scan(body, bank, (frame_ids, gt_np))
+        non_prompt_loss = jnp.sum(losses)
+    else:
+        non_prompt_loss = jnp.asarray(0.0)
+
+    # normalizations (func_3d/function.py:170-173)
+    n_obj = jnp.maximum(jnp.sum(obj_valid), 1.0)
+    prompt_loss = prompt_loss / (len(prompt_frames) * n_obj)
+    if non_prompt_frames:
+        non_prompt_loss = non_prompt_loss / (len(non_prompt_frames) * n_obj)
+    return prompt_loss, non_prompt_loss
+
+
+def make_train_step(cfg: SAM2Config, rcfg: Recipe3DConfig, tx):
+    """Build the jittable train step over a volume batch.
+
+    batch arrays carry a leading volume axis [Bv, ...]; the step vmaps the
+    volume pipeline, pulls two vjp cotangents (prompt / non-prompt) through a
+    single forward, and applies the two-group optimizer update.
+    """
+    spec = mb.BankSpec.from_config(cfg, max_cond_frames=rcfg.max_cond_frames)
+
+    def losses_fn(params, batch):
+        per_vol = jax.vmap(
+            lambda b: volume_losses(params, cfg, spec, rcfg, b), in_axes=(0,)
+        )(batch)
+        prompt_loss = jnp.mean(per_vol[0])
+        non_prompt_loss = jnp.mean(per_vol[1])
+        return prompt_loss, non_prompt_loss
+
+    def train_step(params, opt_state, batch):
+        (prompt_loss, non_prompt_loss), vjp_fn = jax.vjp(
+            lambda p: losses_fn(p, batch), params)
+        # reference grad flow: optimizer2 (mem) sees only d(non_prompt);
+        # optimizer1 (decoder) steps on accumulated d(prompt) + d(non_prompt)
+        g_np = vjp_fn((jnp.zeros_like(non_prompt_loss), jnp.ones_like(non_prompt_loss)))[0]
+        g_total = vjp_fn((jnp.ones_like(prompt_loss), jnp.ones_like(non_prompt_loss)))[0]
+        grads = {}
+        for k in params:
+            if k == "sam_mask_decoder":
+                grads[k] = g_total[k]
+            else:
+                grads[k] = g_np[k]
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {
+            "loss": prompt_loss + non_prompt_loss,
+            "prompt_loss": prompt_loss,
+            "non_prompt_loss": non_prompt_loss,
+        }
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def prompts_from_bbox(bboxes, valid, num_points: int):
+    """bbox [..., 4] xyxy (+ validity) -> padded corner-point prompts.
+
+    Returns (coords [..., P, 2], labels [..., P]) with labels 2/3 on the two
+    corner slots and -1 padding; invalid entries are all-padding (the caller
+    marks them ``use_mask`` for the zero-mask fallback)."""
+    *lead, _ = bboxes.shape
+    P = num_points
+    coords = jnp.zeros((*lead, P, 2), jnp.float32)
+    coords = coords.at[..., 0, :].set(bboxes[..., 0:2])
+    coords = coords.at[..., 1, :].set(bboxes[..., 2:4])
+    labels = -jnp.ones((*lead, P), jnp.int32)
+    labels = labels.at[..., 0].set(2).at[..., 1].set(3)
+    labels = jnp.where(valid[..., None], labels, -1)
+    return coords, labels

@@ -1,0 +1,134 @@
+"""End-to-end predictor tests on a tiny config: image predictor prompt flows
+and video predictor propagation over a synthetic moving-square video."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from medsam2_tpu.configs import SAM2Config, HieraConfig, FpnNeckConfig
+from medsam2_tpu.core.sam2_model import sam2_init
+from medsam2_tpu.api.image_predictor import SAM2ImagePredictor
+from medsam2_tpu.api.video_predictor import SAM2VideoPredictor
+
+
+TINY = SAM2Config(
+    trunk=HieraConfig(embed_dim=8, stages=(1, 1, 1, 1), window_spec=(2, 2, 2, 2),
+                      global_att_blocks=(2,), window_pos_embed_bkg_spatial_size=(3, 3)),
+    neck=FpnNeckConfig(backbone_channel_list=(64, 32, 16, 8)),
+    image_size=64,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return sam2_init(jax.random.PRNGKey(0), TINY)
+
+
+def moving_square_video(T=6, size=64):
+    video = np.zeros((T, size, size, 3), np.float32)
+    masks = np.zeros((T, size, size), bool)
+    for t in range(T):
+        x0 = 8 + 4 * t
+        video[t, 20:36, x0:x0 + 16] = 1.0
+        masks[t, 20:36, x0:x0 + 16] = True
+    return video, masks
+
+
+def test_image_predictor_point_prompt(tiny_params):
+    pred = SAM2ImagePredictor(tiny_params, TINY)
+    img = (np.random.default_rng(0).random((100, 120, 3)) * 255).astype(np.uint8)
+    pred.set_image(img)
+    masks, ious, low = pred.predict(
+        point_coords=np.array([[60.0, 50.0]]), point_labels=np.array([1]))
+    assert masks.shape == (3, 100, 120)          # multimask at original res
+    assert masks.dtype == bool
+    assert ious.shape == (3,)
+    assert low.shape == (3, 16, 16)               # low-res at image_size/4
+    assert np.all((ious >= 0) & (ious <= 1))
+
+    # single-mask output
+    m1, i1, l1 = pred.predict(
+        point_coords=np.array([[60.0, 50.0]]), point_labels=np.array([1]),
+        multimask_output=False)
+    assert m1.shape == (1, 100, 120)
+
+    # box prompt
+    mb_, ib, lb = pred.predict(box=np.array([10, 10, 80, 80]), multimask_output=False)
+    assert mb_.shape == (1, 100, 120)
+
+    # box + point
+    mbp, _, _ = pred.predict(
+        point_coords=np.array([[60.0, 50.0]]), point_labels=np.array([0]),
+        box=np.array([10, 10, 80, 80]))
+    assert mbp.shape == (3, 100, 120)
+
+    # mask input (low-res logits from previous round)
+    m2, _, _ = pred.predict(
+        point_coords=np.array([[60.0, 50.0]]), point_labels=np.array([1]),
+        mask_input=l1, multimask_output=False)
+    assert m2.shape == (1, 100, 120)
+
+
+def test_image_predictor_batch(tiny_params):
+    pred = SAM2ImagePredictor(tiny_params, TINY)
+    imgs = [(np.random.default_rng(i).random((64, 64, 3)) * 255).astype(np.uint8)
+            for i in range(2)]
+    pred.set_image_batch(imgs)
+    masks, ious, lows = pred.predict_batch(
+        point_coords_batch=[np.array([[32.0, 32.0]]), np.array([[16.0, 16.0]])],
+        point_labels_batch=[np.array([1]), np.array([1])])
+    assert len(masks) == 2 and masks[0].shape == (3, 64, 64)
+
+
+def test_video_predictor_propagation(tiny_params):
+    pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
+    video, gt = moving_square_video(T=5)
+    state = pred.init_state(images=video)
+    f, ids, preview = pred.add_new_points(
+        state, frame_idx=0, obj_id=1, points=np.array([[16.0, 28.0]]),
+        labels=np.array([1]))
+    assert f == 0 and ids == [1]
+    assert preview.shape == (1, 1, 16, 16)
+
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == [0, 1, 2, 3, 4]
+    assert masks.shape == (5, 1, 1, 16, 16)
+    assert np.all(np.isfinite(np.asarray(masks)))
+
+    # generator API yields video-res masks
+    outs = list(pred.propagate_in_video(state))
+    assert len(outs) == 5
+    f0, ids0, vm = outs[0]
+    assert f0 == 0 and ids0 == [1]
+    assert vm.shape == (1, 1, 64, 64)
+
+
+def test_video_predictor_multi_object_mixed_prompts(tiny_params):
+    pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
+    video, gt = moving_square_video(T=4)
+    state = pred.train_init_state(video.transpose(0, 3, 1, 2))  # [T,3,S,S] accepted
+    pred.add_new_bbox(state, 0, obj_id=1, bbox=np.array([[8, 20], [24, 36]]))
+    pred.add_new_mask(state, 0, obj_id=2, mask=gt[0])
+    # prompts on a second frame
+    pred.add_new_points(state, 2, obj_id=1, points=np.array([[24.0, 28.0]]),
+                        labels=np.array([1]))
+    # obj 2 not prompted on frame 2 -> empty-mask fallback path
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == [0, 1, 2, 3]
+    assert masks.shape == (4, 2, 1, 16, 16)
+    assert np.all(np.isfinite(np.asarray(masks)))
+
+
+def test_video_predictor_reset_and_reverse(tiny_params):
+    pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
+    video, _ = moving_square_video(T=4)
+    state = pred.init_state(images=video)
+    pred.add_new_points(state, 3, obj_id=7, points=np.array([[52.0, 28.0]]),
+                        labels=np.array([1]))
+    frames, masks = pred.propagate_in_video_batch(state, reverse=True)
+    assert frames == [3, 2, 1, 0]
+    assert masks.shape == (4, 1, 1, 16, 16)
+    pred.reset_state(state)
+    assert state["obj_ids"] == []
