@@ -1,0 +1,142 @@
+"""Postproc tests: CCL vs scipy, RLE round trip, boxes, NMS, AMG smoke."""
+
+import numpy as np
+import pytest
+import scipy.ndimage
+import jax
+import jax.numpy as jnp
+
+from medsam2_tpu.ops import connected_components as ccl
+from medsam2_tpu.ops import nms
+from medsam2_tpu.postproc import amg_utils as amg
+
+
+def random_blobs(rng, h=64, w=64, p=0.35):
+    return (rng.random((h, w)) < p)
+
+
+def test_connected_components_vs_scipy(rng):
+    masks = np.stack([random_blobs(rng) for _ in range(3)])
+    labels, areas = ccl.connected_components(jnp.asarray(masks))
+    labels, areas = np.asarray(labels), np.asarray(areas)
+    structure = np.ones((3, 3), int)  # 8-connectivity
+    for b in range(3):
+        ref_labels, n = scipy.ndimage.label(masks[b], structure=structure)
+        # same partition: our labels constant on each scipy component, distinct
+        # across touching components
+        for comp in range(1, n + 1):
+            vals = np.unique(labels[b][ref_labels == comp])
+            assert len(vals) == 1 and vals[0] > 0, f"component {comp} split"
+        # distinct components -> distinct labels
+        reps = [labels[b][ref_labels == comp].flat[0] for comp in range(1, n + 1)]
+        assert len(set(reps)) == n
+        # areas match
+        ref_areas = scipy.ndimage.sum_labels(masks[b], ref_labels, range(1, n + 1))
+        for comp in range(1, n + 1):
+            got_area = np.unique(areas[b][ref_labels == comp])
+            assert got_area.tolist() == [ref_areas[comp - 1]]
+        assert np.all(labels[b][~masks[b]] == 0)
+
+
+def test_fill_holes():
+    m = -np.ones((1, 1, 16, 16), np.float32)
+    m[0, 0, 4:12, 4:12] = 1.0
+    m[0, 0, 7:9, 7:9] = -1.0  # 4px hole
+    filled = np.asarray(ccl.fill_holes_in_mask_scores(jnp.asarray(m), max_area=8))
+    assert np.all(filled[0, 0, 7:9, 7:9] == 0.1)   # hole filled
+    assert np.all(filled[0, 0, :3, :3] == -1.0)    # big background untouched
+
+
+def test_remove_small_regions():
+    m = np.zeros((32, 32), bool)
+    m[4:20, 4:20] = True
+    m[28:30, 28:30] = True  # small island (4 px)
+    out, changed = ccl.remove_small_regions(jnp.asarray(m), 8, "islands")
+    out = np.asarray(out)
+    assert bool(changed)
+    assert not out[28:30, 28:30].any()
+    assert out[4:20, 4:20].all()
+
+    h = m.copy()
+    h[10:12, 10:12] = False  # small hole
+    out, changed = ccl.remove_small_regions(jnp.asarray(h), 8, "holes")
+    assert bool(changed) and np.asarray(out)[10:12, 10:12].all()
+
+
+def test_rle_roundtrip(rng):
+    masks = np.stack([random_blobs(rng, 24, 17) for _ in range(4)])
+    rles = amg.mask_to_rle(masks)
+    for i, rle in enumerate(rles):
+        back = amg.rle_to_mask(rle)
+        np.testing.assert_array_equal(back, masks[i])
+        assert amg.area_from_rle(rle) == masks[i].sum()
+
+
+def test_batched_mask_to_box():
+    m = np.zeros((2, 16, 20), bool)
+    m[0, 3:9, 5:15] = True
+    boxes = amg.batched_mask_to_box(m)
+    np.testing.assert_array_equal(boxes[0], [5, 3, 14, 8])
+    np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])  # empty
+
+
+def test_stability_score():
+    logits = np.full((1, 8, 8), -5.0, np.float32)
+    logits[0, 2:6, 2:6] = 5.0
+    s = np.asarray(amg.calculate_stability_score(logits, 0.0, 1.0))
+    assert s[0] == pytest.approx(1.0)
+    # borderline values reduce stability
+    logits[0, 0:2, :] = 0.5
+    s2 = np.asarray(amg.calculate_stability_score(logits, 0.0, 1.0))
+    assert s2[0] < 1.0
+
+
+def brute_force_nms(boxes, scores, thr):
+    order = np.argsort(-scores, kind="stable")
+    keep, sup = [], np.zeros(len(boxes), bool)
+    iou = nms._iou_matrix_np(boxes)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if iou[i, j] > thr:
+                sup[j] = True
+    return np.asarray(keep)
+
+
+def test_nms_np_and_jax_agree(rng):
+    boxes = rng.uniform(0, 50, (30, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(5, 30, (30, 2))
+    scores = rng.random(30).astype(np.float32)
+    keep_np = nms.nms_np(boxes, scores, 0.5)
+    np.testing.assert_array_equal(keep_np, brute_force_nms(boxes, scores, 0.5))
+    keep_mask = np.asarray(nms.nms_jax(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    np.testing.assert_array_equal(np.sort(keep_np), np.nonzero(keep_mask)[0])
+
+
+def test_point_nms(rng):
+    pts = np.array([[0, 0], [1, 1], [10, 10], [10.5, 10.5]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.95], np.float32)
+    keep = nms.point_nms_np(pts, scores, dist_threshold=3.0)
+    np.testing.assert_array_equal(np.sort(keep), [0, 3])
+
+
+def test_automatic_mask_generator_smoke():
+    from tests.test_predictors import TINY
+    from medsam2_tpu.core.sam2_model import sam2_init
+    from medsam2_tpu.api.automatic_mask_generator import SAM2AutomaticMaskGenerator
+
+    params = sam2_init(jax.random.PRNGKey(0), TINY)
+    gen = SAM2AutomaticMaskGenerator(
+        params, TINY, points_per_side=4, points_per_batch=16,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:48, 16:48] = 200
+    records = gen.generate(img)
+    assert isinstance(records, list)
+    for r in records[:3]:
+        assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou",
+                          "point_coords", "stability_score", "crop_box"}
+        assert r["segmentation"].shape == (64, 64)
+        assert r["area"] == r["segmentation"].sum()
