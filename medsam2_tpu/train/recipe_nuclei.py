@@ -1,0 +1,179 @@
+"""Joint prompter + SAM2 nuclei training recipe — the TPU-native ``train_2d.py``
+engine for MoNuSeg/CPM (reference: ``func_2d/function.py:27-266``, ``train_2d.py``).
+
+Flow per batch: DPA-P2PNet predicts cell points -> predicted coords snap to the
+chosen GT cell points (``find_nearest_points``, ``func_2d/function.py:680-703``)
+-> SAM2 encodes the images, conditions on the cross-image similarity bank,
+decodes one mask per cell (static ``image_indices`` gather replacing
+``cell_nums`` repeat_interleave) -> memory encoder + bank write -> DETR
+criterion (Hungarian host callback) + SAM mask losses -> joint AdamW with
+prompter grad clipping.
+
+Static shapes: cells are padded to ``max_cells`` per image with a validity
+mask (the reference subsamples to <=150 cells per image anyway,
+``func_2d/monuseg.py:123-137``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medsam2_tpu.configs import SAM2Config
+from medsam2_tpu.core import layers, sam2_model
+from medsam2_tpu.prompter.criterion import CriterionConfig, criterion_losses, mask_iou_loss
+from medsam2_tpu.prompter.dpa_p2pnet import PrompterConfig, prompter_apply
+from medsam2_tpu.prompter.matcher import MatcherConfig, hungarian_match
+from medsam2_tpu.state import similarity_bank as sb
+from medsam2_tpu.train.recipe_2d import Recipe2DConfig, encode_and_condition
+
+
+@dataclasses.dataclass(frozen=True)
+class NucleiRecipeConfig:
+    prompter: PrompterConfig = PrompterConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    criterion: CriterionConfig = CriterionConfig()
+    memory_bank_size: int = 16
+    max_cells: int = 64           # static per-image cell-slot cap
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    clip_grad: float = 0.1        # prompter grads only (func_2d/function.py:257-258)
+    out_size: int = 256
+
+
+def find_nearest_points(pred_coords: jnp.ndarray, gt_points: jnp.ndarray,
+                        gt_valid: jnp.ndarray) -> jnp.ndarray:
+    """For each chosen GT cell point, the nearest predicted coordinate
+    (``func_2d/function.py:680-703``). [B, N, 2] x [B, M, 2] -> [B, M, 2]."""
+    d = jnp.linalg.norm(
+        pred_coords[:, None, :, :].astype(jnp.float32)
+        - gt_points[:, :, None, :].astype(jnp.float32), axis=-1)  # [B, M, N]
+    idx = jnp.argmin(d, axis=-1)
+    nearest = jnp.take_along_axis(
+        pred_coords, idx[..., None], axis=1)
+    return jnp.where(gt_valid[..., None], nearest, 0.0)
+
+
+def forward_nuclei(params, cfg: SAM2Config, rcfg: NucleiRecipeConfig, batch,
+                   bank, key, bank_nonempty: bool):
+    """Joint forward. batch:
+      images       [B, S, S, 3]
+      gt_points    [B, M, 2]   chosen cell centers (prefix-valid padding)
+      gt_labels    [B, M]
+      gt_valid     [B, M]
+      gt_cell_masks [B, M, out, out]  per-cell binary masks
+      gt_semantic  [B, S, S]
+    Returns (prompter outputs, per-cell SAM logits [B, M, out, out], iou [B, M],
+    nearest prompt points, new bank)."""
+    B, S = batch["images"].shape[0], cfg.image_size
+    M = rcfg.max_cells
+
+    outputs, _ = prompter_apply(
+        params["prompter"], rcfg.prompter, batch["images"], None)
+
+    nearest = find_nearest_points(outputs["pred_coords"], batch["gt_points"],
+                                  batch["gt_valid"])
+    nearest = jax.lax.stop_gradient(nearest)
+
+    k1, _ = jax.random.split(key)
+    image_embed, high_res, vision_feats = encode_and_condition(
+        params["sam2"], cfg, batch["images"], bank, k1, bank_nonempty, B)
+
+    # per-cell prompts: flatten [B, M] cells -> rows with image_indices
+    coords = nearest.reshape(B * M, 1, 2)
+    labels = jnp.where(batch["gt_valid"].reshape(B * M), 1, -1)[:, None]
+    sparse, dense = sam2_model.prompt_encoder.prompt_encoder_apply(
+        params["sam2"]["sam_prompt_encoder"], cfg, points=(coords, labels))
+    sparse = jax.lax.stop_gradient(sparse)
+    dense = jax.lax.stop_gradient(dense)
+    image_pe = sam2_model.prompt_encoder.get_dense_pe(
+        params["sam2"]["sam_prompt_encoder"], cfg)
+    image_indices = jnp.repeat(jnp.arange(B), M)
+
+    low_res, ious, _, _ = sam2_model.mask_decoder.mask_decoder_apply(
+        params["sam2"]["sam_mask_decoder"], cfg, image_embed, image_pe,
+        sparse, dense, multimask_output=False, high_res_features=high_res,
+        image_indices=image_indices,
+    )
+    pred_cells = layers.interpolate(
+        low_res.astype(jnp.float32).transpose(0, 2, 3, 1),
+        (rcfg.out_size, rcfg.out_size), method="bilinear")[..., 0]
+    pred_cells = pred_cells.reshape(B, M, rcfg.out_size, rcfg.out_size)
+    iou_cells = ious[:, 0].reshape(B, M)
+
+    # memory write: union of per-cell positive masks per image
+    valid = batch["gt_valid"][..., None, None]
+    union = jnp.max(jnp.where(valid, pred_cells, -jnp.inf), axis=1)
+    binary = (union > 0).astype(jnp.float32)[..., None]
+    binary = layers.interpolate(binary, (S, S), method="bilinear")
+    maskmem_features, _ = sam2_model.encode_new_memory(
+        params["sam2"], cfg, vision_feats[-1],
+        binary.transpose(0, 3, 1, 2), is_mask_from_pts=True)
+    mean_iou = jnp.sum(jnp.where(batch["gt_valid"], iou_cells, 0.0)) / jnp.maximum(
+        jnp.sum(batch["gt_valid"]), 1)
+    bank = sb.write_similarity_bank(
+        bank, jax.lax.stop_gradient(maskmem_features),
+        jax.lax.stop_gradient(mean_iou),
+        jax.lax.stop_gradient(image_embed.reshape(B, -1).astype(jnp.float32)))
+
+    return outputs, pred_cells, iou_cells, nearest, bank
+
+
+def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx):
+    def loss_fn(params, batch, bank, key, bank_nonempty):
+        outputs, pred_cells, iou_cells, _, bank = forward_nuclei(
+            params, cfg, rcfg, batch, bank, key, bank_nonempty)
+
+        src_idx = hungarian_match(
+            rcfg.matcher, outputs["pred_coords"], outputs["pred_logits"],
+            batch["gt_points"], batch["gt_labels"], batch["gt_valid"])
+
+        B, M = iou_cells.shape
+        flat_pred = pred_cells.reshape(B * M, rcfg.out_size, rcfg.out_size)
+        flat_gt = batch["gt_cell_masks"].reshape(B * M, rcfg.out_size, rcfg.out_size)
+        vmask = batch["gt_valid"].reshape(B * M)
+        # restrict SAM losses to valid cells (padding contributes zero)
+        flat_pred = jnp.where(vmask[:, None, None], flat_pred, -20.0)
+        flat_gt = jnp.where(vmask[:, None, None], flat_gt, 0.0)
+
+        losses = criterion_losses(
+            rcfg.criterion, outputs,
+            batch["gt_points"], batch["gt_labels"], batch["gt_valid"],
+            batch["gt_semantic"], src_idx,
+            flat_pred, iou_cells.reshape(B * M), flat_gt)
+        total = sum(losses.values())
+        metrics = {**{k: v for k, v in losses.items()}, "loss": total}
+        return total, (bank, metrics)
+
+    def train_step(params, opt_state, batch, bank, key, bank_nonempty: bool):
+        (loss, (bank, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, bank, key, bank_nonempty)
+        if rcfg.clip_grad > 0:
+            gnorm = optax.global_norm(grads["prompter"])
+            scale = jnp.minimum(1.0, rcfg.clip_grad / jnp.maximum(gnorm, 1e-9))
+            grads = dict(grads)
+            grads["prompter"] = jax.tree_util.tree_map(
+                lambda g: g * scale, grads["prompter"])
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, bank, metrics
+
+    return train_step
+
+
+def init_joint_params(key, cfg: SAM2Config, rcfg: NucleiRecipeConfig):
+    k1, k2 = jax.random.split(key)
+    from medsam2_tpu.prompter.dpa_p2pnet import prompter_init
+    return {
+        "sam2": sam2_model.sam2_init(k1, cfg),
+        "prompter": prompter_init(k2, rcfg.prompter),
+    }
+
+
+def make_optimizer_nuclei(rcfg: NucleiRecipeConfig):
+    return optax.adamw(rcfg.lr, weight_decay=rcfg.weight_decay)
