@@ -1,0 +1,200 @@
+"""3D (BTCV/AMOS CT-as-video) training CLI — the TPU-native ``train_3d.py``
+(reference: ``train_3d.py`` + ``func_3d/function.py``).
+
+Builds the model from a preset, optionally loads released SAM2 weights through
+the torch->JAX converter, trains with the two-optimizer recipe over a (possibly
+sharded) volume batch, validates with the video predictor + threshold-averaged
+IoU/Dice, and writes orbax checkpoints each epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from medsam2_tpu.checkpoint.store import load_params, save_checkpoint
+from medsam2_tpu.cli.cfg import parse_args
+from medsam2_tpu.configs import get_config
+from medsam2_tpu.core.sam2_model import sam2_init
+from medsam2_tpu.data.btcv import BTCV, AMOS, pack_to_recipe_batch
+from medsam2_tpu.data.loader import DataLoader
+from medsam2_tpu.data.synthetic import synthetic_volume
+from medsam2_tpu.metrics.segmentation import eval_seg
+from medsam2_tpu.train import recipe_3d
+from medsam2_tpu.utils.logging_utils import (
+    MetricLogger, Profiler, create_logger, set_log_dir)
+
+
+class SyntheticVolumes:
+    def __init__(self, args, n=8):
+        self.args = args
+        self.n = n
+        self.rng = np.random.default_rng(args.seed)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return synthetic_volume(self.rng, T=self.args.video_length,
+                                size=self.args.image_size,
+                                num_objects=self.args.max_objects,
+                                prompt=self.args.prompt)
+
+
+def build_dataset(args, mode: str):
+    if args.dataset == "synthetic" or args.data_path is None:
+        return SyntheticVolumes(args)
+    cls = {"btcv": BTCV, "amos": AMOS}[args.dataset]
+    return cls(args.data_path, mode=mode, image_size=args.image_size,
+               video_length=args.video_length if mode == "Training" else None,
+               prompt=args.prompt, seed=args.seed)
+
+
+def validation_sam(args, cfg, params, val_loader, logger) -> Dict[str, float]:
+    """Validation loop (``func_3d/function.py:198-314``): prompt every
+    prompt_freq-th frame, propagate, threshold-averaged IoU/Dice."""
+    from medsam2_tpu.api.video_predictor import SAM2VideoPredictor
+
+    pred = SAM2VideoPredictor(params, cfg)
+    tot_iou, tot_dice, n = 0.0, 0.0, 0
+    for batch in val_loader:
+        for sample in batch:
+            imgs = sample["image"]  # [T, 3, S, S]
+            state = pred.val_init_state(imgs)
+            T = imgs.shape[0]
+            obj_ids = sorted({o for t in sample["label"] for o in sample["label"][t]})
+            if not obj_ids:
+                continue
+            for t in range(0, T, args.prompt_freq):
+                for obj in obj_ids:
+                    if "pt" in sample and obj in sample["pt"].get(t, {}):
+                        pred.add_new_points(
+                            state, t, obj, sample["pt"][t][obj][None],
+                            np.array([sample["p_label"][t][obj]]),
+                            normalize_coords=False)
+                    elif "bbox" in sample and obj in sample.get("bbox", {}).get(t, {}):
+                        box = sample["bbox"][t][obj]
+                        if not np.any(np.isnan(box)):
+                            from medsam2_tpu.data.prompts import bbox_to_xyxy
+                            pred.add_new_bbox(state, t, obj, bbox_to_xyxy(box),
+                                              normalize_coords=False)
+                        else:
+                            pred.add_new_mask(state, t, obj,
+                                              np.zeros(imgs.shape[2:], np.float32))
+                    else:
+                        pred.add_new_mask(state, t, obj,
+                                          np.zeros(imgs.shape[2:], np.float32))
+            for frame_idx, ids, masks in pred.propagate_in_video(state):
+                masks = np.asarray(masks, np.float32)  # [O, 1, H, W]
+                for oi, obj in enumerate(ids):
+                    gt = sample["label"].get(frame_idx, {}).get(obj)
+                    gt = gt.astype(np.float32) if gt is not None else np.zeros(
+                        masks.shape[2:], np.float32)[None]
+                    iou, dice = eval_seg(masks[oi:oi + 1], gt[None],
+                                         (0.1, 0.3, 0.5, 0.7, 0.9))
+                    tot_iou += iou
+                    tot_dice += dice
+                    n += 1
+            pred.reset_state(state)
+    return {"iou": tot_iou / max(n, 1), "dice": tot_dice / max(n, 1)}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = get_config(args.sam_config, image_size=args.image_size)
+    rcfg = recipe_3d.Recipe3DConfig(
+        video_length=args.video_length,
+        prompt_freq=args.prompt_freq,
+        num_objects=args.max_objects,
+        lr_sam=args.lr,
+        multimask_for_prompts=(args.prompt == "click"),
+    )
+
+    paths = set_log_dir(args.logdir, args.exp_name)
+    logger = create_logger(paths["log_path"])
+    logger.info(vars(args))
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.sam_ckpt:
+        params = load_params(args.sam_ckpt, cfg)
+        logger.info(f"loaded checkpoint {args.sam_ckpt}")
+    else:
+        params = sam2_init(key, cfg)
+        logger.info("random init (no -sam_ckpt given)")
+
+    tx, _ = recipe_3d.make_optimizers(params, cfg, rcfg)
+    opt_state = tx.init(params)
+    train_step = jax.jit(recipe_3d.make_train_step(cfg, rcfg, tx))
+
+    mesh = None
+    if args.distributed != "none" and len(jax.devices()) > 1:
+        from medsam2_tpu.parallel import mesh as pmesh
+        model_axis = 1
+        if "x" in args.distributed:
+            model_axis = int(args.distributed.split("x")[1])
+        mesh = pmesh.make_mesh(model_axis=model_axis)
+        params = pmesh.shard_params(params, mesh)
+        opt_state = tx.init(params)
+        logger.info(f"mesh: {dict(mesh.shape)}")
+
+    def collate(samples: List[Dict]):
+        return pack_to_recipe_batch(samples, args.video_length, args.max_objects,
+                                    args.prompt_freq, args.image_size)
+
+    train_ds = build_dataset(args, "Training")
+    val_ds = build_dataset(args, "Test" if args.dataset != "synthetic" else "Training")
+    train_loader = DataLoader(train_ds, batch_size=args.b, shuffle=True,
+                              collate_fn=collate, seed=args.seed)
+    val_loader = DataLoader(val_ds, batch_size=1, num_workers=0)
+
+    profiler = Profiler(paths["log_path"]) if args.profile else None
+    ml = MetricLogger()
+
+    if args.eval:
+        metrics = validation_sam(args, cfg, params, val_loader, logger)
+        logger.info(f"eval: {metrics}")
+        return metrics
+
+    context = mesh if mesh is not None else _nullcontext()
+    with context:
+        for epoch in range(args.epochs):
+            t0 = time.time()
+            for i, batch in enumerate(train_loader):
+                if args.steps_per_epoch and i >= args.steps_per_epoch:
+                    break
+                batch = jax.tree_util.tree_map(jnp.asarray, batch)
+                if mesh is not None:
+                    from medsam2_tpu.parallel import mesh as pmesh
+                    batch = pmesh.shard_batch(batch, mesh)
+                params, opt_state, metrics = train_step(params, opt_state, batch)
+                ml.update(**{k: float(v) for k, v in metrics.items()})
+                if profiler:
+                    profiler.step()
+                if i % args.print_freq == 0:
+                    logger.info(f"epoch {epoch} step {i}: {ml}")
+            logger.info(f"epoch {epoch} trained in {time.time() - t0:.1f}s: {ml}")
+
+            if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+                metrics = validation_sam(args, cfg, params, val_loader, logger)
+                logger.info(f"epoch {epoch} val: {metrics}")
+                save_checkpoint(paths["ckpt_path"],
+                                {"params": params, "epoch": epoch}, epoch)
+    if profiler:
+        profiler.close()
+    return params
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    main()
