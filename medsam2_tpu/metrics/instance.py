@@ -31,6 +31,15 @@ def _pairwise_inter_union(true: np.ndarray, pred: np.ndarray):
     pred_ids = np.unique(pred)
     pred_ids = pred_ids[pred_ids > 0]
     n_t, n_p = len(true_ids), len(pred_ids)
+
+    # native single-pass histogram when ids are contiguous from 1
+    if (n_t and n_p and true_ids[-1] == n_t and pred_ids[-1] == n_p):
+        from medsam2_tpu import native
+        res = native.instance_overlap(true, pred, n_t, n_p)
+        if res is not None:
+            inter, t_areas, p_areas = res
+            union = t_areas[:, None] + p_areas[None, :] - inter
+            return inter, union, t_areas, p_areas
     inter = np.zeros((n_t, n_p), np.float64)
     t_areas = np.zeros(n_t)
     p_areas = np.zeros(n_p)

@@ -26,11 +26,15 @@ def _iou_matrix_np(boxes: np.ndarray) -> np.ndarray:
 
 def nms_np(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
     """Greedy NMS; returns kept indices sorted by descending score (matches
-    torchvision.ops.nms semantics)."""
+    torchvision.ops.nms semantics). Uses the native C++ kernel when built."""
     boxes = np.asarray(boxes, np.float32)
     scores = np.asarray(scores, np.float32)
     if len(boxes) == 0:
         return np.zeros((0,), np.int64)
+    from medsam2_tpu import native
+    kept = native.greedy_nms(boxes, scores, iou_threshold)
+    if kept is not None:
+        return kept
     order = np.argsort(-scores, kind="stable")
     iou = _iou_matrix_np(boxes)
     keep = []
@@ -100,6 +104,10 @@ def point_nms_np(points: np.ndarray, scores: np.ndarray, dist_threshold: float) 
     points = np.asarray(points, np.float32)
     if len(points) == 0:
         return np.zeros((0,), np.int64)
+    from medsam2_tpu import native
+    kept = native.point_nms(points, np.asarray(scores, np.float32), dist_threshold)
+    if kept is not None:
+        return kept
     order = np.argsort(-np.asarray(scores, np.float32), kind="stable")
     dists = np.linalg.norm(points[:, None] - points[None, :], axis=-1)
     keep = []
