@@ -42,6 +42,7 @@ class SAM2AutomaticMaskGenerator:
         min_mask_region_area: int = 0,
         output_mode: str = "binary_mask",
         multimask_output: bool = True,
+        use_m2m: bool = False,
         **kwargs,
     ):
         assert (points_per_side is None) != (point_grids is None), \
@@ -68,8 +69,10 @@ class SAM2AutomaticMaskGenerator:
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
         self.multimask_output = multimask_output
+        self.use_m2m = use_m2m
 
         self._decode_grid = jax.jit(_decode_point_grid, static_argnames=("cfg",))
+        self._refine_m2m = jax.jit(_refine_with_m2m, static_argnames=("cfg",))
 
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """image: HWC uint8 RGB -> list of mask records (``:152-204``)."""
@@ -160,6 +163,14 @@ class SAM2AutomaticMaskGenerator:
         low_res, iou_preds = self._decode_grid(
             self.predictor.params, self.predictor._features, coords, labels,
             cfg=self.cfg)
+        if self.use_m2m:
+            # second pass: best mask per point re-fed as a mask prompt with the
+            # point (automatic_mask_generator.py:417-434)
+            best = jnp.argmax(iou_preds, axis=-1)
+            bidx = jnp.arange(low_res.shape[0])
+            low_res, iou_preds = self._refine_m2m(
+                self.predictor.params, self.predictor._features, coords, labels,
+                low_res[bidx, best][:, None], cfg=self.cfg)
         # upsample to crop size
         masks = tr.postprocess_masks(low_res, im_size)
         masks = np.asarray(masks, np.float32)
@@ -220,6 +231,29 @@ class SAM2AutomaticMaskGenerator:
                 mask_data["boxes"][i] = boxes[i]
         mask_data.filter(keep)
         return mask_data
+
+
+def _refine_with_m2m(params, features, coords, labels, mask_input, *,
+                     cfg: SAM2Config):
+    """Single-mask refinement pass with the previous logits as a mask prompt."""
+    from medsam2_tpu.core import sam2_model
+
+    B = coords.shape[0]
+    feats = {
+        "image_embed": jnp.broadcast_to(
+            features["image_embed"], (B, *features["image_embed"].shape[1:])),
+        "high_res_feats": [
+            jnp.broadcast_to(f, (B, *f.shape[1:])) for f in features["high_res_feats"]],
+    }
+    out = sam2_model.forward_sam_heads(
+        params, cfg,
+        backbone_features=feats["image_embed"],
+        point_inputs={"point_coords": coords, "point_labels": labels},
+        mask_inputs=mask_input.transpose(0, 2, 3, 1),
+        high_res_features=feats["high_res_feats"],
+        multimask_output=False,
+    )
+    return out.low_res_multimasks, out.ious
 
 
 def _decode_point_grid(params, features, coords, labels, *, cfg: SAM2Config):

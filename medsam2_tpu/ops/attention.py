@@ -95,17 +95,25 @@ def flash_attention(q, k, v, kv_mask=None, scale=None, block_q=512, block_k=512)
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     if scale is None:
-        scale = 1.0 / math.sqrt(D)
+        scale = 1.0 / math.sqrt(D)  # scale by the true head dim before padding
     if kv_mask is None:
         kv_mask = jnp.ones((B, Nk), jnp.int32)
     else:
         kv_mask = kv_mask.astype(jnp.int32)
 
+    # Pad the head dim to a lane multiple (zeros leave QK^T logits and the
+    # valid output channels unchanged; padded channels are sliced off).
+    Dp = max(((D + 127) // 128) * 128, 128)
+    if Dp != D:
+        q = _pad_to(q, 3, Dp)
+        k = _pad_to(k, 3, Dp)
+        v = _pad_to(v, 3, Dp)
+
     bq = min(block_q, max(Nq, 8))
     bk = min(block_k, max(Nk, 128))
-    qf = _pad_to(q.reshape(B * H, Nq, D), 1, bq)
-    kf = _pad_to(k.reshape(B * H, Nk, D), 1, bk)
-    vf = _pad_to(v.reshape(B * H, Nk, D), 1, bk)
+    qf = _pad_to(q.reshape(B * H, Nq, Dp), 1, bq)
+    kf = _pad_to(k.reshape(B * H, Nk, Dp), 1, bk)
+    vf = _pad_to(v.reshape(B * H, Nk, Dp), 1, bk)
     maskf = _pad_to(jnp.repeat(kv_mask[:, None, :], H, axis=1).reshape(B * H, 1, Nk), 2, bk)
     Nq_p, Nk_p = qf.shape[1], kf.shape[1]
     num_q_blocks = Nq_p // bq
@@ -116,30 +124,30 @@ def flash_attention(q, k, v, kv_mask=None, scale=None, block_q=512, block_k=512)
         functools.partial(_flash_kernel, scale=scale, num_kv_blocks=num_kv_blocks),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, bq, D), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Nq_p, D), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, Dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Nq_p, Dp), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, D), jnp.float32),
+            pltpu.VMEM((bq, Dp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qf, kf, vf, maskf)
-    return out[:, :Nq, :].reshape(B, H, Nq, D)
+    return out[:, :Nq, :D].reshape(B, H, Nq, D)
 
 
 def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     # Flash pays off for long sequences; tiny decoder/window attentions stay on XLA.
-    return q_len >= 1024 and kv_len >= 1024 and head_dim % 64 == 0
+    return q_len >= 2048 and kv_len >= 2048 and head_dim >= 64
 
 
 def attention(q, k, v, kv_mask=None, scale=None, force: Optional[str] = None):

@@ -122,6 +122,41 @@ def test_point_nms(rng):
     np.testing.assert_array_equal(np.sort(keep), [0, 3])
 
 
+def test_amg_m2m_refinement():
+    from tests.test_predictors import TINY
+    from medsam2_tpu.core.sam2_model import sam2_init
+    from medsam2_tpu.api.automatic_mask_generator import SAM2AutomaticMaskGenerator
+
+    params = sam2_init(jax.random.PRNGKey(3), TINY)
+    gen = SAM2AutomaticMaskGenerator(
+        params, TINY, points_per_side=2, points_per_batch=4,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0, use_m2m=True)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[20:44, 20:44] = 180
+    records = gen.generate(img)
+    assert isinstance(records, list)
+
+
+def test_flash_attention_d96_padding(rng):
+    """Head-dim padding path (Hiera global blocks, d=96) vs XLA."""
+    import functools
+    from jax.experimental import pallas as pl
+    from medsam2_tpu.ops import attention as attn_mod
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 64, 96)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 160, 96)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 160, 96)).astype(np.float32))
+    orig = pl.pallas_call
+    with jax.disable_jit():
+        try:
+            pl.pallas_call = functools.partial(orig, interpret=True)
+            got = np.asarray(attn_mod.flash_attention(q, k, v, block_q=32, block_k=64))
+        finally:
+            pl.pallas_call = orig
+    want = np.asarray(attn_mod.sdpa_xla(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_automatic_mask_generator_smoke():
     from tests.test_predictors import TINY
     from medsam2_tpu.core.sam2_model import sam2_init
