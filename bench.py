@@ -122,9 +122,52 @@ def bench_2d():
     }
 
 
+def bench_3d_batch():
+    """Batched multi-volume streaming throughput (BASELINE config 5 shape,
+    scaled to one chip)."""
+    import jax
+    import jax.numpy as jnp
+    from medsam2_tpu.configs import get_config
+    from medsam2_tpu.core import sam2_model
+    from medsam2_tpu.state import memory_bank as mb
+    from medsam2_tpu.api.video_predictor import propagate_volumes_batched
+
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
+    num_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    num_volumes = int(os.environ.get("BENCH_VOLUMES", "4"))
+    preset = os.environ.get("BENCH_PRESET", "sam2_hiera_t")
+
+    cfg = get_config(preset, image_size=image_size)
+    params = sam2_model.sam2_init(jax.random.PRNGKey(0), cfg)
+    spec = mb.BankSpec.from_config(cfg, max_cond_frames=1)
+
+    videos = jax.jit(lambda k: jax.random.uniform(
+        k, (num_volumes, num_frames, image_size, image_size, 3)))(jax.random.PRNGKey(1))
+    coords = jnp.full((num_volumes, 1, 1, 2), image_size / 2, jnp.float32)
+    labels = jnp.ones((num_volumes, 1, 1), jnp.int32)
+
+    f = jax.jit(lambda v, c, l: propagate_volumes_batched(
+        params, cfg, spec, v, c, l, num_objects=1))
+    m = f(videos, coords, labels)
+    float(np.asarray(m).sum())
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        m = f(videos, coords, labels)
+        float(np.asarray(m).sum())
+        best = min(best, time.perf_counter() - t0)
+    fps = num_volumes * num_frames / best
+    return {
+        "metric": f"3d_batched_volumes_fps_{preset}_{image_size}px_{num_volumes}vol",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 27.0, 3),
+    }
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "3d")
-    result = bench_2d() if mode == "2d" else bench_3d()
+    result = {"3d": bench_3d, "2d": bench_2d, "3d_batch": bench_3d_batch}[mode]()
     print(json.dumps(result))
 
 

@@ -426,6 +426,48 @@ def _scan_track(params, images, bank, frame_order, is_cond, stored_masks, *,
     return masks
 
 
+def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
+                              videos: jnp.ndarray, prompt_coords: jnp.ndarray,
+                              prompt_labels: jnp.ndarray,
+                              num_objects: int = 1) -> jnp.ndarray:
+    """Batched multi-volume streaming (BASELINE config 5): vmap the full
+    preflight + scan pipeline over a volume axis so several CT volumes stream
+    through the ring-buffer memory bank concurrently on one chip (or sharded
+    over the ``data`` mesh axis).
+
+    videos: [V, T, S, S, 3] normalized; prompt_coords/labels: [V, O, P, 2]/[V, O, P]
+    prompts on frame 0 for each object. Returns low-res logits [V, T, O, 1, h4, h4].
+    """
+    T = videos.shape[1]
+
+    def one_volume(video, coords, labels):
+        bank = mb.init_bank(spec, num_objects)
+        out, bank = _prompt_step(
+            params, video, bank, jnp.int32(0), coords, labels,
+            jnp.zeros((num_objects, cfg.image_size, cfg.image_size, 1), jnp.float32),
+            jnp.zeros((num_objects,), bool),
+            cfg=cfg, spec=spec, multimask_output=False, is_eval=True, num_frames=T)
+
+        def body(bank, frame_idx):
+            frame = jax.lax.dynamic_index_in_dim(video, frame_idx, 0, keepdims=True)
+            feats, pos = _encode_frame(params, frame, cfg=cfg)
+            feats, pos = _expand_to_objects(feats, pos, num_objects)
+            o, bank = sam2_model.track_step(
+                params, cfg, spec, bank, frame_idx,
+                is_init_cond_frame=False,
+                current_vision_feats=feats, current_vision_pos=pos,
+                multimask_output=sam2_model.use_multimask(cfg, False, 0),
+                run_mem_encoder=True, is_cond_frame=False,
+                num_frames=T, is_eval=True)
+            return bank, o["pred_masks"].astype(jnp.float32)
+
+        _, masks = jax.lax.scan(body, bank, jnp.arange(1, T, dtype=jnp.int32))
+        first = out["pred_masks"].astype(jnp.float32)[None]
+        return jnp.concatenate([first, masks], axis=0)
+
+    return jax.vmap(one_volume)(videos, prompt_coords, prompt_labels)
+
+
 def _load_video_frames_dir(video_path: str, image_size: int):
     """Load ``<idx>.jpg`` frames from a directory (``utils/misc.py:163-213``)."""
     from PIL import Image
