@@ -69,9 +69,10 @@ def bench_3d():
         t0 = time.perf_counter()
         m = pred._scan_track(*args, is_eval=True, num_frames=num_frames,
                              track_in_reverse=False)
-        # force full execution (block_until_ready alone can under-report
-        # through the axon tunnel)
-        float(np.asarray(m).sum())
+        # force full execution with a device-side reduction (transferring the
+        # mask stack over the axon tunnel would dominate the timing)
+        import jax.numpy as jnp
+        float(jnp.sum(m))
         best = min(best, time.perf_counter() - t0)
 
     fps = num_frames / best
@@ -149,12 +150,12 @@ def bench_3d_batch():
     f = jax.jit(lambda v, c, l: propagate_volumes_batched(
         params, cfg, spec, v, c, l, num_objects=1))
     m = f(videos, coords, labels)
-    float(np.asarray(m).sum())
+    float(jnp.sum(m))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         m = f(videos, coords, labels)
-        float(np.asarray(m).sum())
+        float(jnp.sum(m))
         best = min(best, time.perf_counter() - t0)
     fps = num_volumes * num_frames / best
     return {

@@ -218,8 +218,13 @@ class SAM2VideoPredictor:
             state, start_frame_idx, max_frame_num_to_track, reverse)
         hw = (state["video_height"], state["video_width"])
         for i, f in enumerate(frames):
+            frame_masks = masks[i]
+            if self.fill_hole_area > 0:
+                from medsam2_tpu.ops.connected_components import fill_holes_in_mask_scores
+                frame_masks = fill_holes_in_mask_scores(
+                    frame_masks, self.fill_hole_area)
             video_res = layers.interpolate(
-                jnp.transpose(masks[i], (0, 2, 3, 1)), hw, method="bilinear")
+                jnp.transpose(frame_masks, (0, 2, 3, 1)), hw, method="bilinear")
             video_res = jnp.transpose(video_res, (0, 3, 1, 2))
             if self.non_overlap_masks:
                 video_res = sam2_model.apply_non_overlapping_constraints(video_res)
