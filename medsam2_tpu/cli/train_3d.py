@@ -153,6 +153,10 @@ def main(argv=None):
 
     profiler = Profiler(paths["log_path"]) if args.profile else None
     ml = MetricLogger()
+    ema = None
+    if args.model_ema:
+        from medsam2_tpu.utils.logging_utils import EMA
+        ema = EMA(params, decay=args.model_ema_decay)
 
     if args.eval:
         metrics = validation_sam(args, cfg, params, val_loader, logger)
@@ -171,6 +175,8 @@ def main(argv=None):
                     from medsam2_tpu.parallel import mesh as pmesh
                     batch = pmesh.shard_batch(batch, mesh)
                 params, opt_state, metrics = train_step(params, opt_state, batch)
+                if ema is not None and i % args.model_ema_steps == 0:
+                    ema.update(params)
                 ml.update(**{k: float(v) for k, v in metrics.items()})
                 if profiler:
                     profiler.step()
@@ -181,8 +187,10 @@ def main(argv=None):
             if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
                 metrics = validation_sam(args, cfg, params, val_loader, logger)
                 logger.info(f"epoch {epoch} val: {metrics}")
-                save_checkpoint(paths["ckpt_path"],
-                                {"params": params, "epoch": epoch}, epoch)
+                state_to_save = {"params": params, "epoch": epoch}
+                if ema is not None:
+                    state_to_save["ema_params"] = ema.params
+                save_checkpoint(paths["ckpt_path"], state_to_save, epoch)
     if profiler:
         profiler.close()
     return params

@@ -53,21 +53,33 @@ def memory_attention_init(key, cfg: MemoryAttentionConfig):
     }
 
 
+def _dropout(x, rate: float, key):
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
 def _memory_attention_layer_apply(
     p, cfg: MemoryAttentionConfig, tgt, memory, pos, query_pos,
     q_hw: Tuple[int, int], num_k_exclude_rope: int, kv_mask,
+    dropout_key=None,
 ):
-    """One MemoryAttentionLayer (``memory_attention.py:58-99``); dropout omitted
-    (inference/TPU-training path; the recipes train with dropout inactive on
-    the memory path anyway via the tiny lr)."""
+    """One MemoryAttentionLayer (``memory_attention.py:58-99``). Residual
+    dropout (rate ``cfg.dropout``) applies only when a ``dropout_key`` is
+    given (training); inference is deterministic."""
     act = layers.ACTIVATIONS[cfg.activation]
+    k1 = k2 = k3 = None
+    if dropout_key is not None:
+        k1, k2, k3 = jax.random.split(dropout_key, 3)
 
     # Self-attention (pre-norm)
     tgt2 = layers.layer_norm_apply(p["norm1"], tgt)
     q = tgt2 + query_pos if cfg.pos_enc_at_attn else tgt2
     tgt2 = rope_attn_apply(p["self_attn"], q, q, tgt2, cfg.self_attn_num_heads,
                            q_hw=q_hw, rope_theta=cfg.rope_theta)
-    tgt = tgt + tgt2
+    tgt = tgt + _dropout(tgt2, cfg.dropout, k1)
 
     # Cross-attention to memory
     tgt2 = layers.layer_norm_apply(p["norm2"], tgt)
@@ -78,12 +90,12 @@ def _memory_attention_layer_apply(
         q_hw=q_hw, rope_theta=cfg.rope_theta, rope_k_repeat=True,
         num_k_exclude_rope=num_k_exclude_rope, kv_mask=kv_mask,
     )
-    tgt = tgt + tgt2
+    tgt = tgt + _dropout(tgt2, cfg.dropout, k2)
 
     # FFN
     tgt2 = layers.layer_norm_apply(p["norm3"], tgt)
     tgt2 = layers.linear_apply(p["linear2"], act(layers.linear_apply(p["linear1"], tgt2)))
-    return tgt + tgt2
+    return tgt + _dropout(tgt2, cfg.dropout, k3)
 
 
 def memory_attention_apply(
@@ -96,15 +108,18 @@ def memory_attention_apply(
     q_hw: Tuple[int, int],
     num_obj_ptr_tokens: int = 0,
     kv_mask: Optional[jnp.ndarray] = None,  # [B, Nk] True = valid slot
+    dropout_key=None,
 ) -> jnp.ndarray:
     """``MemoryAttention.forward`` (``memory_attention.py:119-169``)."""
     output = curr
     if cfg.pos_enc_at_input and curr_pos is not None:
         output = output + 0.1 * curr_pos
-    for lp in p["layers"]:
+    keys = (jax.random.split(dropout_key, len(p["layers"]))
+            if dropout_key is not None else [None] * len(p["layers"]))
+    for lp, lk in zip(p["layers"], keys):
         output = _memory_attention_layer_apply(
             lp, cfg, output, memory, memory_pos, curr_pos, q_hw,
-            num_obj_ptr_tokens, kv_mask,
+            num_obj_ptr_tokens, kv_mask, dropout_key=lk,
         )
     return layers.layer_norm_apply(p["norm"], output)
 

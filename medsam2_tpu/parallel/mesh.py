@@ -20,6 +20,26 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up (``jax.distributed.initialize``): call once per host
+    before building meshes. No-op on single-process runs. Returns the process
+    count. A multi-slice mesh adds a leading DCN axis on top of
+    :func:`make_mesh`'s ICI axes."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    return jax.process_count()
+
+
+def process_local_batch(global_batch: int) -> int:
+    """Per-host batch size for per-host data loading (each host feeds its own
+    shard of the ``data`` axis)."""
+    assert global_batch % jax.process_count() == 0, (
+        f"global batch {global_batch} not divisible by {jax.process_count()} hosts")
+    return global_batch // jax.process_count()
+
+
 def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1,
               devices=None) -> Mesh:
     """Mesh over (data, model). ``model_axis`` divides the device count."""
