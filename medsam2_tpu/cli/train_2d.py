@@ -60,7 +60,8 @@ def train_refuge(args, cfg, logger, paths):
         memory_bank_size=args.memory_bank_size, lr=args.lr,
         out_size=args.out_size, clip_grad=args.clip_grad)
     key = jax.random.PRNGKey(args.seed)
-    params = load_params(args.sam_ckpt, cfg) if args.sam_ckpt else sam2_init(key, cfg)
+    ckpt = args.weights or args.pretrain or args.sam_ckpt
+    params = load_params(ckpt, cfg) if ckpt else sam2_init(key, cfg)
     tx = recipe_2d.make_optimizer_2d(rcfg)
     opt_state = tx.init(params)
     step = jax.jit(recipe_2d.make_train_step_2d(cfg, rcfg, tx),

@@ -119,9 +119,10 @@ def main(argv=None):
     logger.info(vars(args))
 
     key = jax.random.PRNGKey(args.seed)
-    if args.sam_ckpt:
-        params = load_params(args.sam_ckpt, cfg)
-        logger.info(f"loaded checkpoint {args.sam_ckpt}")
+    ckpt = args.weights or args.pretrain or args.sam_ckpt
+    if ckpt:
+        params = load_params(ckpt, cfg)
+        logger.info(f"loaded checkpoint {ckpt}")
     else:
         params = sam2_init(key, cfg)
         logger.info("random init (no -sam_ckpt given)")
