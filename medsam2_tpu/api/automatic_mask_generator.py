@@ -158,8 +158,13 @@ class SAM2AutomaticMaskGenerator:
         tr = self.predictor._transforms
         in_points = tr.transform_coords(points, normalize=True, orig_hw=im_size)
 
-        coords = jnp.asarray(in_points[:, None, :], jnp.float32)   # [B, 1, 2]
-        labels = jnp.ones((coords.shape[0], 1), jnp.int32)
+        # pad the final partial batch so every call reuses one jit trace
+        n_real = len(in_points)
+        pad = self.points_per_batch - n_real
+        padded = np.pad(in_points, ((0, pad), (0, 0))) if pad else in_points
+        coords = jnp.asarray(padded[:, None, :], jnp.float32)   # [B, 1, 2]
+        labels = jnp.asarray(
+            np.pad(np.ones(n_real, np.int32), (0, pad), constant_values=-1)[:, None])
         low_res, iou_preds = self._decode_grid(
             self.predictor.params, self.predictor._features, coords, labels,
             cfg=self.cfg)
@@ -173,8 +178,8 @@ class SAM2AutomaticMaskGenerator:
                 low_res[bidx, best][:, None], cfg=self.cfg)
         # upsample to crop size
         masks = tr.postprocess_masks(low_res, im_size)
-        masks = np.asarray(masks, np.float32)
-        iou_preds = np.asarray(iou_preds, np.float32)
+        masks = np.asarray(masks, np.float32)[:n_real]
+        iou_preds = np.asarray(iou_preds, np.float32)[:n_real]
 
         B, M = masks.shape[:2]
         data = amg.MaskData(
