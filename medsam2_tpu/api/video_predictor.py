@@ -252,7 +252,7 @@ class SAM2VideoPredictor:
         # --- preflight: process prompt frames, write cond memories ---
         cond_outputs = {}
         for f in cond_frames:
-            out, bank = self._run_prompt_frame(state, bank, f, bank_write=True)
+            out, bank = self._run_prompt_frame(state, bank, f)
             cond_outputs[f] = out["pred_masks"]
 
         # --- frame order ---
@@ -283,7 +283,7 @@ class SAM2VideoPredictor:
 
     # ------------------------------------------------------------------
 
-    def _run_prompt_frame(self, state, bank, frame_idx, bank_write: bool = True):
+    def _run_prompt_frame(self, state, bank, frame_idx):
         """Assemble per-object prompts for a frame and run the prompt step."""
         B = len(state["obj_ids"])
         P = self.cfg.max_prompt_points
@@ -319,7 +319,7 @@ class SAM2VideoPredictor:
             multimask_output=multimask, is_eval=state["is_eval"],
             num_frames=state["num_frames"],
         )
-        return out, (bank if bank_write else bank)
+        return out, bank
 
 
 # ---------------------------------------------------------------------------
