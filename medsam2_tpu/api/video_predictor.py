@@ -58,6 +58,19 @@ class SAM2VideoPredictor:
             static_argnames=("is_eval", "num_frames", "track_in_reverse"),
         )
 
+    @classmethod
+    def for_eval(cls, params, cfg: SAM2Config, **kwargs):
+        """Predictor with the reference's eval-time overrides
+        (``build_sam.py:51-66``): binarize interacted-frame masks for the
+        memory encoder, fill holes up to area 8, apply the cross-object
+        non-overlap constraint on outputs."""
+        import dataclasses
+
+        eval_cfg = dataclasses.replace(cfg, binarize_mask_from_pts_for_mem_enc=True)
+        kwargs.setdefault("fill_hole_area", 8)
+        kwargs.setdefault("non_overlap_masks", True)
+        return cls(params, eval_cfg, **kwargs)
+
     # ------------------------------------------------------------------
     # Session init (init_state :39 / val_init_state :107 / train_init_state :179)
     # ------------------------------------------------------------------
@@ -331,9 +344,10 @@ def _dtype(cfg: SAM2Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
-def _encode_frame(params, frame, *, cfg: SAM2Config):
+def _encode_frame(params, frame, *, cfg: SAM2Config, trunk_pos_embed=None):
     """frame [1, S, S, 3] -> (feats list, pos list)."""
-    backbone_out = sam2_model.forward_image(params, cfg, frame.astype(_dtype(cfg)))
+    backbone_out = sam2_model.forward_image(params, cfg, frame.astype(_dtype(cfg)),
+                                            trunk_pos_embed=trunk_pos_embed)
     feats, pos, _ = sam2_model.prepare_backbone_features(cfg, backbone_out)
     return feats, pos
 
@@ -401,11 +415,14 @@ def _scan_track(params, images, bank, frame_order, is_cond, stored_masks, *,
     stored outputs on cond frames. Returns low-res mask logits
     [T_out, B, 1, h4, w4]."""
     B = bank["cond_feats"].shape[0]
+    from medsam2_tpu.core.hiera import _get_pos_embed
+    S = images.shape[1]
+    trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
 
     def body(bank, xs):
         frame_idx, cond_flag, stored = xs
         frame = jax.lax.dynamic_index_in_dim(images, frame_idx, axis=0, keepdims=True)
-        feats, pos = _encode_frame(params, frame, cfg=cfg)
+        feats, pos = _encode_frame(params, frame, cfg=cfg, trunk_pos_embed=trunk_pe)
         feats, pos = _expand_to_objects(feats, pos, B)
 
         def tracked(bank):
@@ -445,6 +462,10 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
     """
     T = videos.shape[1]
 
+    from medsam2_tpu.core.hiera import _get_pos_embed
+    S = videos.shape[2]
+    trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
+
     def one_volume(video, coords, labels):
         bank = mb.init_bank(spec, num_objects)
         out, bank = _prompt_step(
@@ -455,7 +476,8 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
 
         def body(bank, frame_idx):
             frame = jax.lax.dynamic_index_in_dim(video, frame_idx, 0, keepdims=True)
-            feats, pos = _encode_frame(params, frame, cfg=cfg)
+            feats, pos = _encode_frame(params, frame, cfg=cfg,
+                                       trunk_pos_embed=trunk_pe)
             feats, pos = _expand_to_objects(feats, pos, num_objects)
             o, bank = sam2_model.track_step(
                 params, cfg, spec, bank, frame_idx,

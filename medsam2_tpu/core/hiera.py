@@ -69,6 +69,38 @@ def _get_pos_embed(params, h: int, w: int):
     return bkg + tiled
 
 
+def _patch_embed_s2d(p, x, cfg: HieraConfig):
+    """Space-to-depth patch embedding: the 7x7/stride-4 conv over 3 input
+    channels lowers terribly on the MXU (tiny contraction depth). Rewritten as
+    an exact k=2/s=1 VALID conv over 4x4 space-to-depth blocks with the kernel
+    zero-padded to 8x8 — identical output, ~48-deep contractions.
+
+    Derivation: out(i,j) = sum_{a,b<7} x[4i-3+a, 4j-3+b] w[a,b]; padding the
+    input by 4 (top/left) and the kernel to 8x8 at offset (1,1) aligns every
+    tap to a 2x2 window of 4x4 blocks.
+    """
+    B, H, W, C = x.shape
+    s = 4
+    # pad: 4 top/left, 3 bottom/right -> (H+7) rounded to H+8 block-aligned
+    xp = jnp.pad(x, ((0, 0), (4, s - 1 + (-(H + 3) % s)), (4, s - 1 + (-(W + 3) % s)), (0, 0)))
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    xb = xp.reshape(B, Hp // s, s, Wp // s, s, C).transpose(0, 1, 3, 2, 4, 5)
+    xb = xb.reshape(B, Hp // s, Wp // s, s * s * C)
+
+    w = p["w"]  # [7, 7, Cin, Cout]
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # taps at offsets 1..7
+    w2 = w8.reshape(2, s, 2, s, C, w.shape[-1]).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(2, 2, s * s * C, w.shape[-1])
+
+    y = jax.lax.conv_general_dilated(
+        xb, w2.astype(x.dtype), (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=layers.PRECISION)
+    y = y[:, : H // s, : W // s, :]
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 def _attention_block(bp, x, spec, q_stride):
     """MultiScaleAttention (``hieradet.py:37-83``): fused qkv, optional q max-pooling."""
     B, H, W, _ = x.shape
@@ -134,13 +166,23 @@ def _block_apply(bp, x, spec):
     return x
 
 
-def hiera_apply(params, cfg: HieraConfig, x: jnp.ndarray) -> List[jnp.ndarray]:
-    """x: [B, H, W, 3] NHWC image -> list of per-stage feature maps [B, h, w, C]."""
-    x = layers.conv2d_apply(
-        params["patch_embed"]["proj"], x, stride=cfg.patch_stride,
-        explicit_padding=cfg.patch_padding,
-    )
-    x = x + _get_pos_embed(params, x.shape[1], x.shape[2]).astype(x.dtype)
+def hiera_apply(params, cfg: HieraConfig, x: jnp.ndarray,
+                pos_embed: jnp.ndarray = None) -> List[jnp.ndarray]:
+    """x: [B, H, W, 3] NHWC image -> list of per-stage feature maps [B, h, w, C].
+
+    ``pos_embed``: optional precomputed :func:`_get_pos_embed` output — pass it
+    when calling inside a ``lax.scan`` so the bicubic interpolation is hoisted
+    out of the loop (it depends only on params and static shape)."""
+    if cfg.patch_kernel == (7, 7) and cfg.patch_stride == (4, 4) and cfg.patch_padding == (3, 3):
+        x = _patch_embed_s2d(params["patch_embed"]["proj"], x, cfg)
+    else:
+        x = layers.conv2d_apply(
+            params["patch_embed"]["proj"], x, stride=cfg.patch_stride,
+            explicit_padding=cfg.patch_padding,
+        )
+    if pos_embed is None:
+        pos_embed = _get_pos_embed(params, x.shape[1], x.shape[2])
+    x = x + pos_embed.astype(x.dtype)
 
     outputs = []
     schedule = cfg.block_schedule()

@@ -72,10 +72,12 @@ def image_encoder_init(key, cfg: SAM2Config):
     }
 
 
-def image_encoder_apply(params, cfg: SAM2Config, sample: jnp.ndarray) -> Dict:
+def image_encoder_apply(params, cfg: SAM2Config, sample: jnp.ndarray,
+                        trunk_pos_embed=None) -> Dict:
     """sample: [B, H, W, 3] -> dict with ``vision_features`` (lowest kept level),
     ``vision_pos_enc``, ``backbone_fpn`` (``image_encoder.py:29-42``)."""
-    feats = hiera.hiera_apply(params["trunk"], cfg.trunk, sample)
+    feats = hiera.hiera_apply(params["trunk"], cfg.trunk, sample,
+                              pos_embed=trunk_pos_embed)
     features, pos = fpn_neck_apply(params["neck"], cfg.neck, feats)
     if cfg.scalp > 0:
         features, pos = features[: -cfg.scalp], pos[: -cfg.scalp]

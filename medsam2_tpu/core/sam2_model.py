@@ -63,10 +63,12 @@ def sam2_init(key, cfg: SAM2Config):
 # ---------------------------------------------------------------------------
 
 
-def forward_image(params, cfg: SAM2Config, img_batch: jnp.ndarray) -> Dict:
+def forward_image(params, cfg: SAM2Config, img_batch: jnp.ndarray,
+                  trunk_pos_embed=None) -> Dict:
     """Encode images; precompute the decoder's high-res skip projections
     (``sam2_base.py:464-476``). img_batch: [B, H, W, 3] NHWC."""
-    backbone_out = image_encoder_apply(params["image_encoder"], cfg, img_batch)
+    backbone_out = image_encoder_apply(params["image_encoder"], cfg, img_batch,
+                                       trunk_pos_embed=trunk_pos_embed)
     if cfg.use_high_res_features_in_sam:
         dec = params["sam_mask_decoder"]
         fpn = list(backbone_out["backbone_fpn"])

@@ -126,12 +126,15 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
     if non_prompt_frames:
         frame_ids = jnp.asarray(non_prompt_frames, jnp.int32)
         gt_np = gt[jnp.asarray(non_prompt_frames)]
+        from medsam2_tpu.core.hiera import _get_pos_embed
+        trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
 
         @jax.checkpoint
         def body(bank, xs):
             frame_idx, frame_gt = xs
             frame = jax.lax.dynamic_index_in_dim(images, frame_idx, 0, keepdims=True)
-            feats, pos = _encode_frame(params, frame, cfg=cfg)
+            feats, pos = _encode_frame(params, frame, cfg=cfg,
+                                       trunk_pos_embed=trunk_pe)
             feats, pos = _expand_to_objects(feats, pos, O)
             out, bank = sam2_model.track_step(
                 params, cfg, spec, bank, frame_idx,

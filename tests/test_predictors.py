@@ -121,6 +121,20 @@ def test_video_predictor_multi_object_mixed_prompts(tiny_params):
     assert np.all(np.isfinite(np.asarray(masks)))
 
 
+def test_video_predictor_eval_overrides(tiny_params):
+    pred = SAM2VideoPredictor.for_eval(tiny_params, TINY, max_cond_frames=2)
+    assert pred.cfg.binarize_mask_from_pts_for_mem_enc
+    assert pred.fill_hole_area == 8
+    assert pred.non_overlap_masks
+    video, _ = moving_square_video(T=3)
+    state = pred.init_state(images=video)
+    pred.add_new_points(state, 0, obj_id=1, points=np.array([[16.0, 28.0]]),
+                        labels=np.array([1]))
+    outs = list(pred.propagate_in_video(state))
+    assert len(outs) == 3
+    assert np.isfinite(np.asarray(outs[-1][2])).all()
+
+
 def test_video_predictor_reset_and_reverse(tiny_params):
     pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
     video, _ = moving_square_video(T=4)
