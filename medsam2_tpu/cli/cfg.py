@@ -67,4 +67,7 @@ def parse_args(argv=None):
     parser.add_argument('-profile', action='store_true',
                         help='capture a jax.profiler trace of the first steps')
     parser.add_argument('-logdir', type=str, default='logs')
+    parser.add_argument('-resume', type=str, default=None,
+                        help='checkpoint dir to resume training from (params + '
+                             'optimizer state + epoch)')
     return parser.parse_args(argv)

@@ -129,6 +129,16 @@ def main(argv=None):
 
     tx, _ = recipe_3d.make_optimizers(params, cfg, rcfg)
     opt_state = tx.init(params)
+    start_epoch = 0
+    if args.resume:
+        from medsam2_tpu.checkpoint.store import restore_checkpoint
+        state = restore_checkpoint(
+            args.resume, template={"params": params, "opt_state": opt_state,
+                                   "epoch": 0})
+        params = state["params"]
+        opt_state = state["opt_state"]
+        start_epoch = int(state["epoch"]) + 1
+        logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
     train_step = jax.jit(recipe_3d.make_train_step(cfg, rcfg, tx))
 
     mesh = None
@@ -166,7 +176,7 @@ def main(argv=None):
 
     context = mesh if mesh is not None else _nullcontext()
     with context:
-        for epoch in range(args.epochs):
+        for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
             for i, batch in enumerate(train_loader):
                 if args.steps_per_epoch and i >= args.steps_per_epoch:
@@ -188,7 +198,8 @@ def main(argv=None):
             if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
                 metrics = validation_sam(args, cfg, params, val_loader, logger)
                 logger.info(f"epoch {epoch} val: {metrics}")
-                state_to_save = {"params": params, "epoch": epoch}
+                state_to_save = {"params": params, "opt_state": opt_state,
+                                 "epoch": epoch}
                 if ema is not None:
                     state_to_save["ema_params"] = ema.params
                 save_checkpoint(paths["ckpt_path"], state_to_save, epoch)
