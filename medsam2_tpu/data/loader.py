@@ -27,6 +27,10 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # np.random.Generator is not thread-safe: serialize item fetch for
+        # datasets that sample prompts with a shared rng (collate still runs
+        # in parallel across workers)
+        self._fetch_lock = threading.Lock() if hasattr(dataset, "rng") else None
 
     def __len__(self):
         n = len(self.dataset)
@@ -54,12 +58,18 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def fetch(i):
+            if self._fetch_lock is not None:
+                with self._fetch_lock:
+                    return self.dataset[i]
+            return self.dataset[i]
+
         def worker(batch_list):
             try:
                 for b in batch_list:
                     if stop.is_set():
                         return
-                    q.put((None, self.collate_fn([self.dataset[i] for i in b])))
+                    q.put((None, self.collate_fn([fetch(i) for i in b])))
             except Exception as e:  # surface worker errors to the consumer
                 q.put((e, None))
 
