@@ -54,9 +54,12 @@ def build_dataset(args, mode: str):
                prompt=args.prompt, seed=args.seed)
 
 
-def validation_sam(args, cfg, params, val_loader, logger) -> Dict[str, float]:
+def validation_sam(args, cfg, params, val_loader, logger,
+                   sample_dir: str = None) -> Dict[str, float]:
     """Validation loop (``func_3d/function.py:198-314``): prompt every
-    prompt_freq-th frame, propagate, threshold-averaged IoU/Dice."""
+    prompt_freq-th frame, propagate, threshold-averaged IoU/Dice; optional
+    per-frame figure dumps under ``sample_dir`` when ``-vis`` is set
+    (``func_3d/function.py:288-298``)."""
     from medsam2_tpu.api.video_predictor import SAM2VideoPredictor
 
     pred = SAM2VideoPredictor(params, cfg)
@@ -88,6 +91,7 @@ def validation_sam(args, cfg, params, val_loader, logger) -> Dict[str, float]:
                     else:
                         pred.add_new_mask(state, t, obj,
                                           np.zeros(imgs.shape[2:], np.float32))
+            name = sample["image_meta_dict"]["filename_or_obj"]
             for frame_idx, ids, masks in pred.propagate_in_video(state):
                 masks = np.asarray(masks, np.float32)  # [O, 1, H, W]
                 for oi, obj in enumerate(ids):
@@ -99,6 +103,12 @@ def validation_sam(args, cfg, params, val_loader, logger) -> Dict[str, float]:
                     tot_iou += iou
                     tot_dice += dice
                     n += 1
+                    if args.vis and sample_dir is not None:
+                        import os
+                        from medsam2_tpu.utils.visualization import vis_image
+                        vis_image(imgs[frame_idx], masks[oi, 0] > 0, gt[0],
+                                  os.path.join(sample_dir, str(name), str(frame_idx),
+                                               f"{obj}.png"))
             pred.reset_state(state)
     return {"iou": tot_iou / max(n, 1), "dice": tot_dice / max(n, 1)}
 
@@ -170,7 +180,8 @@ def main(argv=None):
         ema = EMA(params, decay=args.model_ema_decay)
 
     if args.eval:
-        metrics = validation_sam(args, cfg, params, val_loader, logger)
+        metrics = validation_sam(args, cfg, params, val_loader, logger,
+                                 sample_dir=paths["sample_path"])
         logger.info(f"eval: {metrics}")
         return metrics
 
@@ -196,7 +207,8 @@ def main(argv=None):
             logger.info(f"epoch {epoch} trained in {time.time() - t0:.1f}s: {ml}")
 
             if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
-                metrics = validation_sam(args, cfg, params, val_loader, logger)
+                metrics = validation_sam(args, cfg, params, val_loader, logger,
+                                         sample_dir=paths["sample_path"])
                 logger.info(f"epoch {epoch} val: {metrics}")
                 state_to_save = {"params": params, "opt_state": opt_state,
                                  "epoch": epoch}
