@@ -135,6 +135,36 @@ def test_video_predictor_eval_overrides(tiny_params):
     assert np.isfinite(np.asarray(outs[-1][2])).all()
 
 
+def test_video_predictor_long_video_ring_wraparound(tiny_params):
+    """Video longer than the non-cond ring: wrap-around lookups must stay
+    consistent (stored frame-index matching rejects stale slots)."""
+    pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
+    T = pred.spec.noncond_ring * 2 + 3  # force multiple wraps
+    video, _ = moving_square_video(T=T)
+    state = pred.init_state(images=video)
+    pred.add_new_points(state, 0, obj_id=1, points=np.array([[16.0, 28.0]]),
+                        labels=np.array([1]))
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == list(range(T))
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_video_predictor_eval_stride(tiny_params):
+    """memory_temporal_stride_for_eval r=2: the stride-r readout path runs
+    end-to-end (arithmetic itself is oracle-tested in test_memory)."""
+    import dataclasses
+    cfg2 = dataclasses.replace(TINY, memory_temporal_stride_for_eval=2)
+    pred = SAM2VideoPredictor(tiny_params, cfg2, max_cond_frames=2)
+    assert pred.spec.temporal_stride == 2
+    video, _ = moving_square_video(T=6)
+    state = pred.init_state(images=video)
+    pred.add_new_points(state, 0, obj_id=1, points=np.array([[16.0, 28.0]]),
+                        labels=np.array([1]))
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == list(range(6))
+    assert np.isfinite(np.asarray(masks)).all()
+
+
 def test_video_predictor_reset_and_reverse(tiny_params):
     pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
     video, _ = moving_square_video(T=4)
