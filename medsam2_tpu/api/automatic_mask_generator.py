@@ -148,9 +148,12 @@ class SAM2AutomaticMaskGenerator:
                 np.zeros(len(data["boxes"])), self.box_nms_thresh)
             data.filter(keep)
 
-        data["boxes"] = amg.uncrop_boxes_xyxy(data["boxes"], crop_box)
-        data["points"] = amg.uncrop_points(data["points"], crop_box)
-        data["crop_boxes"] = np.array([crop_box] * len(data["rles"]), np.float32)
+        data["boxes"] = np.asarray(
+            amg.uncrop_boxes_xyxy(data["boxes"], crop_box), np.float32).reshape(-1, 4)
+        data["points"] = np.asarray(
+            amg.uncrop_points(data["points"], crop_box), np.float32).reshape(-1, 2)
+        data["crop_boxes"] = np.asarray(
+            [crop_box] * len(data["rles"]), np.float32).reshape(-1, 4)
         return data
 
     def _process_batch(self, points, im_size, crop_box, orig_size) -> amg.MaskData:

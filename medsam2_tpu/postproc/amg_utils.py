@@ -96,6 +96,8 @@ def mask_to_rle(masks: np.ndarray) -> List[Dict[str, Any]]:
     """Fortran-order uncompressed RLE (``mask_to_rle_pytorch``, ``amg.py:109-137``)."""
     masks = np.asarray(masks, bool)
     B, h, w = masks.shape
+    if B == 0:
+        return []
     flat = masks.transpose(0, 2, 1).reshape(B, -1)  # fortran order: column-major
     out = []
     for i in range(B):

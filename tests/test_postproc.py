@@ -122,6 +122,43 @@ def test_point_nms(rng):
     np.testing.assert_array_equal(np.sort(keep), [0, 3])
 
 
+def test_amg_multi_crop_layers():
+    """crop_n_layers=1: per-crop processing, uncropping, cross-crop NMS."""
+    from tests.test_predictors import TINY
+    from medsam2_tpu.core.sam2_model import sam2_init
+    from medsam2_tpu.api.automatic_mask_generator import SAM2AutomaticMaskGenerator
+
+    params = sam2_init(jax.random.PRNGKey(5), TINY)
+    gen = SAM2AutomaticMaskGenerator(
+        params, TINY, points_per_side=2, points_per_batch=4,
+        pred_iou_thresh=0.0, stability_score_thresh=0.0,
+        crop_n_layers=1, crop_overlap_ratio=0.25)
+    img = np.zeros((96, 96, 3), np.uint8)
+    img[30:66, 30:66] = 200
+    records = gen.generate(img)
+    assert isinstance(records, list)
+    for r in records[:3]:
+        assert r["segmentation"].shape == (96, 96)
+        # crop boxes recorded in xywh
+        assert len(r["crop_box"]) == 4
+
+
+def test_hiera_preset_schedules():
+    from medsam2_tpu.configs import sam2_hiera_b_plus, sam2_hiera_l
+    bp = sam2_hiera_b_plus()
+    assert bp.trunk.channel_list == (896, 448, 224, 112)
+    assert bp.trunk.depth == 24
+    lg = sam2_hiera_l()
+    assert lg.trunk.channel_list == (1152, 576, 288, 144)
+    assert lg.trunk.depth == 48
+    # schedules are internally consistent with the neck
+    for cfg in (bp, lg):
+        assert tuple(cfg.neck.backbone_channel_list) == cfg.trunk.channel_list
+        sched = cfg.trunk.block_schedule()
+        assert sched[0]["dim"] == cfg.trunk.embed_dim
+        assert sched[-1]["dim_out"] == cfg.trunk.channel_list[0]
+
+
 def test_amg_m2m_refinement():
     from tests.test_predictors import TINY
     from medsam2_tpu.core.sam2_model import sam2_init
