@@ -137,15 +137,23 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx):
         flat_pred = pred_cells.reshape(B * M, rcfg.out_size, rcfg.out_size)
         flat_gt = batch["gt_cell_masks"].reshape(B * M, rcfg.out_size, rcfg.out_size)
         vmask = batch["gt_valid"].reshape(B * M)
-        # restrict SAM losses to valid cells (padding contributes zero)
+        # restrict SAM losses to valid cells: padding rows get pred=-20/gt=0
+        # (zero dice+focal contribution) and pred_iou pinned to its soft-IoU
+        # value of 1 so the IoU-MSE term vanishes on padding
         flat_pred = jnp.where(vmask[:, None, None], flat_pred, -20.0)
         flat_gt = jnp.where(vmask[:, None, None], flat_gt, 0.0)
+        flat_iou = jnp.where(vmask, iou_cells.reshape(B * M), 1.0)
 
         losses = criterion_losses(
             rcfg.criterion, outputs,
             batch["gt_points"], batch["gt_labels"], batch["gt_valid"],
             batch["gt_semantic"], src_idx,
-            flat_pred, iou_cells.reshape(B * M), flat_gt)
+            flat_pred, flat_iou, flat_gt)
+        # renormalize the per-cell mask losses by the valid fraction so padding
+        # slots don't dilute the mean (the reference averages over real cells)
+        valid_frac = jnp.maximum(jnp.mean(vmask.astype(jnp.float32)), 1e-6)
+        for k in ("loss_focal", "loss_dice", "loss_iou"):
+            losses[k] = losses[k] / valid_frac
         total = sum(losses.values())
         metrics = {**{k: v for k, v in losses.items()}, "loss": total}
         return total, (bank, metrics)
