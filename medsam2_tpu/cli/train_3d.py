@@ -187,14 +187,17 @@ def main(argv=None):
 
     context = mesh if mesh is not None else _nullcontext()
     with context:
+        from medsam2_tpu.data.loader import device_prefetch
         for epoch in range(start_epoch, args.epochs):
             t0 = time.time()
-            for i, batch in enumerate(train_loader):
+            batches = train_loader if mesh is not None else device_prefetch(
+                iter(train_loader))
+            for i, batch in enumerate(batches):
                 if args.steps_per_epoch and i >= args.steps_per_epoch:
                     break
-                batch = jax.tree_util.tree_map(jnp.asarray, batch)
                 if mesh is not None:
                     from medsam2_tpu.parallel import mesh as pmesh
+                    batch = jax.tree_util.tree_map(jnp.asarray, batch)
                     batch = pmesh.shard_batch(batch, mesh)
                 params, opt_state, metrics = train_step(params, opt_state, batch)
                 if ema is not None and i % args.model_ema_steps == 0:

@@ -12,6 +12,31 @@ from typing import Callable, Iterator, List, Optional, Sequence
 import numpy as np
 
 
+def device_prefetch(iterator, size: int = 2):
+    """Overlap host batch preparation + H2D transfer with device compute:
+    eagerly `device_put`s up to ``size`` upcoming batches while the current
+    step runs (the JAX analogue of torch's pin_memory+prefetch)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            try:
+                batch = next(iterator)
+            except StopIteration:
+                return
+            queue.append(jax.tree_util.tree_map(jax.device_put, batch))
+
+    iterator = iter(iterator)
+    enqueue(size)
+    while queue:
+        yield queue.popleft()
+        enqueue(1)
+
+
 class DataLoader:
     """Minimal map-style loader: dataset with __len__/__getitem__, optional
     batching collate, background prefetch threads."""

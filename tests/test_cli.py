@@ -66,6 +66,35 @@ def test_train_2d_cli_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_nuclei_inference_multi_crop(rng):
+    """Sliding-window inference over an image larger than the crop size:
+    multiple crops, global point NMS, cross-crop merge."""
+    import jax
+    from tests.test_predictors import TINY
+    from medsam2_tpu.data.synthetic import synthetic_nuclei
+    from medsam2_tpu.train import recipe_nuclei
+    from medsam2_tpu.prompter.dpa_p2pnet import PrompterConfig
+    from medsam2_tpu.api.nuclei_inference import crop_with_overlap, predict_instances
+    from medsam2_tpu.state import similarity_bank as sb
+
+    corners = crop_with_overlap(128, 128, 64, 16)
+    assert len(corners) > 1 and (0, 0) in corners
+    xs = {c[0] for c in corners}
+    assert max(xs) + 64 >= 128  # full coverage
+
+    rcfg = recipe_nuclei.NucleiRecipeConfig(
+        prompter=PrompterConfig(backbone="resnet18"), max_cells=8, out_size=64)
+    params = recipe_nuclei.init_joint_params(jax.random.PRNGKey(0), TINY, rcfg)
+    sample = synthetic_nuclei(rng, size=128, num_cells=8)
+    P = (TINY.image_size // 16) ** 2
+    bank = sb.init_similarity_bank(4, P, TINY.mem_dim, P * 256)
+    inst = predict_instances(params, TINY, rcfg, sample, bank,
+                             jax.random.PRNGKey(1), crop_size=64, overlap=16)
+    assert inst.shape == (128, 128)
+    assert inst.min() >= 0
+
+
+@pytest.mark.slow
 def test_nuclei_inference_engine(rng):
     """predict_instances produces a sane instance map on synthetic nuclei."""
     import jax

@@ -125,6 +125,30 @@ def test_cell_centers_snaps_to_foreground():
     assert inst[y, x] == 1
 
 
+def test_device_prefetch():
+    from medsam2_tpu.data.loader import device_prefetch
+    import numpy as np
+
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(b["x"][0, 0]) == i  # order preserved, on-device arrays
+
+
+def test_profiler_writes_trace(tmp_path):
+    import jax
+    from medsam2_tpu.utils.logging_utils import Profiler
+
+    prof = Profiler(str(tmp_path), num_steps=2)
+    for _ in range(3):
+        jax.block_until_ready(jax.numpy.ones((8, 8)) * 2)
+        prof.step()
+    prof.close()
+    import glob
+    assert glob.glob(str(tmp_path / "**" / "*"), recursive=True), "no trace written"
+
+
 def test_dataloader_prefetch(rng):
     class DS:
         def __len__(self):
