@@ -34,7 +34,9 @@ def bench_3d():
 
     cfg = get_config(preset, image_size=image_size)
     params = sam2_model.sam2_init(jax.random.PRNGKey(0), cfg)
-    pred = SAM2VideoPredictor(params, cfg, max_cond_frames=2)
+    # one prompted frame -> 1 cond + 6 non-cond = the reference's 7 attended
+    # frames (num_maskmem); a larger max_cond pads unused kv slots
+    pred = SAM2VideoPredictor(params, cfg, max_cond_frames=1)
 
     rng = np.random.default_rng(0)
     video = (rng.random((num_frames, image_size, image_size, 3)) * 255).astype(np.float32)

@@ -138,8 +138,7 @@ def train_nuclei(args, cfg, logger, paths):
         params["sam2"] = load_params(args.sam_ckpt, cfg)
     tx = recipe_nuclei.make_optimizer_nuclei(rcfg)
     opt_state = tx.init(params)
-    step = jax.jit(recipe_nuclei.make_train_step_nuclei(cfg, rcfg, tx),
-                   static_argnames=("bank_nonempty",))
+    step = recipe_nuclei.make_train_step_nuclei(cfg, rcfg, tx)  # jitted inside
 
     if args.dataset == "synthetic" or args.data_path is None:
         train_ds = SyntheticDataset(args, "nuclei")

@@ -39,6 +39,45 @@ def _match_host(cost: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def hungarian_match_host(mcfg: MatcherConfig, pred_coords: np.ndarray,
+                         pred_logits: np.ndarray, gt_points: np.ndarray,
+                         gt_labels: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
+    """Pure-numpy exact matching for backends without jit host callbacks
+    (the axon PJRT plugin rejects pure_callback). Same cost and assignment as
+    :func:`hungarian_match`; run it between two jitted calls."""
+    pred_coords = np.asarray(pred_coords, np.float64)
+    pred_logits = np.asarray(pred_logits, np.float64)
+    gt_points = np.asarray(gt_points, np.float64)
+    gt_labels = np.asarray(gt_labels)
+    gt_valid = np.asarray(gt_valid, bool)
+    B, N, _ = pred_coords.shape
+    M = gt_points.shape[1]
+    cost_point = np.linalg.norm(
+        pred_coords[:, :, None, :] - gt_points[:, None, :, :], axis=-1)
+    z = pred_logits - pred_logits.max(-1, keepdims=True)
+    prob = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+    lbl = np.clip(gt_labels, 0, prob.shape[-1] - 1)
+    cost_class = -np.take_along_axis(
+        prob, np.broadcast_to(lbl[:, None, :], (B, N, M)), axis=-1)
+    cost = mcfg.cost_point * cost_point + mcfg.cost_class * cost_class
+    cost = np.where(gt_valid[:, None, :], cost, 1e9)
+    out = _match_host(cost, gt_valid)
+    return np.where(gt_valid, out, -1).astype(np.int32)
+
+
+def backend_supports_callbacks() -> bool:
+    """Whether jit host callbacks work on the current backend (the axon TPU
+    tunnel raises UNIMPLEMENTED for pure_callback)."""
+    import jax
+
+    try:
+        f = jax.jit(lambda x: jax.pure_callback(
+            lambda a: a + 1, jax.ShapeDtypeStruct((), jnp.int32), x))
+        return int(f(jnp.int32(1))) == 2
+    except Exception:
+        return False
+
+
 def hungarian_match(mcfg: MatcherConfig, pred_coords: jnp.ndarray,
                     pred_logits: jnp.ndarray, gt_points: jnp.ndarray,
                     gt_labels: jnp.ndarray, gt_valid: jnp.ndarray) -> jnp.ndarray:

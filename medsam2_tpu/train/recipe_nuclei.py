@@ -17,6 +17,7 @@ mask (the reference subsamples to <=150 cells per image anyway,
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -124,14 +125,29 @@ def forward_nuclei(params, cfg: SAM2Config, rcfg: NucleiRecipeConfig, batch,
     return outputs, pred_cells, iou_cells, nearest, bank
 
 
-def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx):
-    def loss_fn(params, batch, bank, key, bank_nonempty):
+def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
+                           matcher_mode: str = "auto"):
+    """``matcher_mode``: 'callback' runs the scipy assignment as a
+    jax.pure_callback inside the jitted step; 'precompute' runs a jitted
+    prompter forward, matches on the host, and feeds the indices into the
+    jitted grad step (exact, for backends without host-callback support —
+    the axon TPU tunnel raises UNIMPLEMENTED on pure_callback); 'auto' probes
+    the backend once."""
+    if matcher_mode == "auto":
+        from medsam2_tpu.prompter.matcher import backend_supports_callbacks
+        matcher_mode = "callback" if backend_supports_callbacks() else "precompute"
+    assert matcher_mode in ("callback", "precompute")
+
+    def loss_fn(params, batch, bank, key, bank_nonempty, precomputed_idx=None):
         outputs, pred_cells, iou_cells, _, bank = forward_nuclei(
             params, cfg, rcfg, batch, bank, key, bank_nonempty)
 
-        src_idx = hungarian_match(
-            rcfg.matcher, outputs["pred_coords"], outputs["pred_logits"],
-            batch["gt_points"], batch["gt_labels"], batch["gt_valid"])
+        if precomputed_idx is None:
+            src_idx = hungarian_match(
+                rcfg.matcher, outputs["pred_coords"], outputs["pred_logits"],
+                batch["gt_points"], batch["gt_labels"], batch["gt_valid"])
+        else:
+            src_idx = precomputed_idx
 
         B, M = iou_cells.shape
         flat_pred = pred_cells.reshape(B * M, rcfg.out_size, rcfg.out_size)
@@ -158,9 +174,11 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx):
         metrics = {**{k: v for k, v in losses.items()}, "loss": total}
         return total, (bank, metrics)
 
-    def train_step(params, opt_state, batch, bank, key, bank_nonempty: bool):
+    def grad_step(params, opt_state, batch, bank, key, bank_nonempty: bool,
+                  precomputed_idx):
         (loss, (bank, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, bank, key, bank_nonempty)
+            loss_fn, has_aux=True)(params, batch, bank, key, bank_nonempty,
+                                   precomputed_idx)
         if rcfg.clip_grad > 0:
             gnorm = optax.global_norm(grads["prompter"])
             scale = jnp.minimum(1.0, rcfg.clip_grad / jnp.maximum(gnorm, 1e-9))
@@ -170,6 +188,35 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx):
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, bank, metrics
+
+    # Both modes return a ready-to-call step (already jitted internally) —
+    # do NOT wrap the result in jax.jit again.
+    if matcher_mode == "callback":
+        jitted = jax.jit(functools.partial(grad_step, precomputed_idx=None),
+                         static_argnames=("bank_nonempty",))
+
+        def train_step(params, opt_state, batch, bank, key, bank_nonempty: bool):
+            return jitted(params, opt_state, batch, bank, key,
+                          bank_nonempty=bank_nonempty)
+        return train_step
+
+    # precompute mode: jitted prompter forward -> host Hungarian -> jitted grad
+    from medsam2_tpu.prompter.dpa_p2pnet import prompter_apply
+    from medsam2_tpu.prompter.matcher import hungarian_match_host
+
+    prompter_fwd = jax.jit(
+        lambda params, images: prompter_apply(
+            params["prompter"], rcfg.prompter, images, None)[0])
+    grad_step_jit = jax.jit(grad_step, static_argnames=("bank_nonempty",))
+
+    def train_step(params, opt_state, batch, bank, key, bank_nonempty: bool):
+        outputs = prompter_fwd(params, batch["images"])
+        src_idx = hungarian_match_host(
+            rcfg.matcher, np.asarray(outputs["pred_coords"]),
+            np.asarray(outputs["pred_logits"]), np.asarray(batch["gt_points"]),
+            np.asarray(batch["gt_labels"]), np.asarray(batch["gt_valid"]))
+        return grad_step_jit(params, opt_state, batch, bank, key, bank_nonempty,
+                             jnp.asarray(src_idx))
 
     return train_step
 

@@ -88,6 +88,62 @@ def test_hungarian_matcher_vs_direct(rng):
     assert src2[0, -1] == -1
 
 
+def test_host_matcher_matches_callback_matcher(rng):
+    """The precompute-mode host matcher (for backends without pure_callback,
+    e.g. the axon TPU tunnel) must produce identical assignments."""
+    from medsam2_tpu.prompter.matcher import hungarian_match_host
+    mcfg = MatcherConfig(cost_point=0.1, cost_class=1.0)
+    B, N, M, C = 2, 16, 5, 2
+    pred_coords = rng.random((B, N, 2)).astype(np.float32) * 64
+    pred_logits = rng.standard_normal((B, N, C)).astype(np.float32)
+    gt_points = rng.random((B, M, 2)).astype(np.float32) * 64
+    gt_labels = np.zeros((B, M), np.int32)
+    gt_valid = np.ones((B, M), bool)
+    gt_valid[1, 3:] = False
+
+    via_callback = np.asarray(hungarian_match(
+        mcfg, jnp.asarray(pred_coords), jnp.asarray(pred_logits),
+        jnp.asarray(gt_points), jnp.asarray(gt_labels), jnp.asarray(gt_valid)))
+    via_host = hungarian_match_host(mcfg, pred_coords, pred_logits, gt_points,
+                                    gt_labels, gt_valid)
+    np.testing.assert_array_equal(via_callback, via_host)
+
+
+def test_nuclei_train_step_precompute_mode(rng):
+    """The precompute matcher mode trains end-to-end (same losses path)."""
+    from tests.test_predictors import TINY
+    from medsam2_tpu.state import similarity_bank as sb
+    from medsam2_tpu.train import recipe_nuclei as rn
+
+    rcfg = rn.NucleiRecipeConfig(
+        prompter=dpa.PrompterConfig(backbone="resnet18"),
+        memory_bank_size=4, max_cells=4, out_size=64)
+    params = rn.init_joint_params(jax.random.PRNGKey(0), TINY, rcfg)
+    tx = rn.make_optimizer_nuclei(rcfg)
+    step = rn.make_train_step_nuclei(TINY, rcfg, tx, matcher_mode="precompute")
+    opt_state = tx.init(params)
+    B, M, S = 1, 4, 64
+    gt_points = np.zeros((B, M, 2), np.float32)
+    gt_points[0, 0] = [20, 20]
+    gt_valid = np.zeros((B, M), bool)
+    gt_valid[0, 0] = True
+    cell_masks = np.zeros((B, M, 64, 64), np.float32)
+    cell_masks[0, 0, 14:26, 14:26] = 1
+    batch = {
+        "images": jnp.asarray(rng.random((B, S, S, 3)).astype(np.float32)),
+        "gt_points": jnp.asarray(gt_points),
+        "gt_labels": jnp.zeros((B, M), jnp.int32),
+        "gt_valid": jnp.asarray(gt_valid),
+        "gt_cell_masks": jnp.asarray(cell_masks),
+        "gt_semantic": jnp.asarray(cell_masks.max(1)),
+    }
+    spec_P = (TINY.image_size // 16) ** 2
+    bank = sb.init_similarity_bank(4, spec_P, TINY.mem_dim, spec_P * 256)
+    params, opt_state, bank, metrics = step(
+        params, opt_state, batch, bank, jax.random.PRNGKey(1), bank_nonempty=False)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_criterion_perfect_match_low_loss(rng):
     ccfg = CriterionConfig(num_classes=1)
     B, N, M, S = 1, 8, 2, 16
@@ -123,8 +179,7 @@ def test_nuclei_train_step(rng):
         memory_bank_size=4, max_cells=4, out_size=64)
     params = rn.init_joint_params(jax.random.PRNGKey(0), TINY, rcfg)
     tx = rn.make_optimizer_nuclei(rcfg)
-    step = jax.jit(rn.make_train_step_nuclei(TINY, rcfg, tx),
-                   static_argnames=("bank_nonempty",))
+    step = rn.make_train_step_nuclei(TINY, rcfg, tx)  # jitted inside
     opt_state = tx.init(params)
 
     B, M, S = 1, 4, 64
