@@ -1,13 +1,17 @@
 """Native (C++) host-side kernels with build-on-demand ctypes bindings.
 
-``lib()`` compiles ``postproc.cpp`` with g++ on first use (cached next to the
-source, keyed by source mtime) and returns the ctypes handle, or ``None`` when
-no toolchain is available — callers keep their numpy fallbacks.
+``lib()`` compiles ``postproc.cpp`` with g++ on first use and returns the
+ctypes handle, or ``None`` when no toolchain is available — callers keep their
+numpy fallbacks. The build cache is keyed by a source-content hash (never by
+mtime, which a fresh checkout resets), and the output name embeds the hash so
+a binary compiled from different source is never loaded. No portable-unsafe
+flags (-march=native) — the .so may be cached across machines.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -21,13 +25,17 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 
 def _build() -> Optional[str]:
     src = os.path.join(_DIR, "postproc.cpp")
-    out = os.path.join(_DIR, "_postproc.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    try:
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    out = os.path.join(_DIR, f"_postproc_{digest}.so")
+    if os.path.exists(out):
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             src, "-o", out],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", out],
             check=True, capture_output=True, timeout=120)
         return out
     except (OSError, subprocess.SubprocessError):

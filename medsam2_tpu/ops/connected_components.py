@@ -100,15 +100,21 @@ def remove_small_regions(mask: jnp.ndarray, area_thresh: float, mode: str,
     """
     assert mode in ("holes", "islands")
     working = ~mask if mode == "holes" else mask
-    _, areas = connected_components(working[None], num_sweeps)
-    small = (areas[0] > 0) & (areas[0] <= area_thresh)
+    labels, areas = connected_components(working[None], num_sweeps)
+    labels, areas = labels[0], areas[0]
+    # strictly < area_thresh, matching cv2-based reference (``amg.py:280``)
+    small = (areas > 0) & (areas < area_thresh)
     changed = jnp.any(small)
     working = working & ~small
-    out = ~working if mode == "holes" else working
-    # if nothing remains in islands mode, keep the largest region
     if mode == "islands":
-        out = jnp.where(jnp.any(out), out, mask)
-    return out, changed
+        # if every region was small, the reference keeps only the largest
+        # component (``amg.py:283-285``); break area ties by smallest label
+        max_area = jnp.max(areas)
+        tie_label = jnp.min(jnp.where(areas == max_area, labels, jnp.iinfo(jnp.int32).max))
+        largest_only = (labels == tie_label) & mask
+        working = jnp.where(jnp.any(working), working, largest_only)
+        return working, changed
+    return ~working, changed
 
 
 def fill_holes_and_sprinkles(mask_logits: jnp.ndarray, max_hole_area: float,

@@ -51,11 +51,11 @@ def loss_cls(pred_logits, gt_labels, src_idx, gt_valid, ccfg: CriterionConfig):
     B, N, C1 = pred_logits.shape
     bg = ccfg.num_classes
     targets = jnp.full((B, N), bg, jnp.int32)
-    idx = jnp.maximum(src_idx, 0)
-    # scatter matched labels
-    updates = jnp.where(gt_valid, gt_labels, bg)
-    targets = jax.vmap(lambda t, i, u, v: t.at[i].set(jnp.where(v, u, t[i])))(
-        targets, idx, updates, gt_valid)
+    # Scatter matched labels; padded GT slots (src_idx == -1) are routed to the
+    # out-of-bounds index N and dropped, so they can never alias query 0.
+    idx = jnp.where(gt_valid & (src_idx >= 0), src_idx, N)
+    targets = jax.vmap(lambda t, i, u: t.at[i].set(u, mode="drop"))(
+        targets, idx, gt_labels.astype(jnp.int32))
     logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     weight = jnp.where(targets == bg, ccfg.eos_coef, 1.0)

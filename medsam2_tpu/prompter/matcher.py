@@ -31,11 +31,11 @@ def _match_host(cost: np.ndarray, gt_valid: np.ndarray) -> np.ndarray:
     B, N, M = cost.shape
     out = -np.ones((B, M), np.int32)
     for b in range(B):
-        m = int(gt_valid[b].sum())
-        if m == 0:
+        valid_cols = np.flatnonzero(gt_valid[b])
+        if valid_cols.size == 0:
             continue
-        rows, cols = linear_sum_assignment(cost[b, :, :m])
-        out[b, cols] = rows.astype(np.int32)
+        rows, cols = linear_sum_assignment(cost[b][:, valid_cols])
+        out[b, valid_cols[cols]] = rows.astype(np.int32)
     return out
 
 

@@ -34,8 +34,10 @@ class SAM2Transforms:
         x = jnp.asarray(image, jnp.float32)
         if image.dtype == np.uint8 or x.max() > 2.0:
             x = x / 255.0
+        # torchvision Resize (the reference preprocessing, ``transforms.py:28``)
+        # antialiases tensor downscales by default.
         x = layers.interpolate(x[None], (self.resolution, self.resolution),
-                               method="bilinear")[0]
+                               method="bilinear", antialias=True)[0]
         return (x - IMAGENET_MEAN) / IMAGENET_STD
 
     def forward_batch(self, images) -> jnp.ndarray:
@@ -74,5 +76,6 @@ def preprocess_batch(images: jnp.ndarray, resolution: int) -> jnp.ndarray:
     """In-graph: [B, H, W, 3] float (0..255 or 0..1) -> normalized at model res."""
     x = images.astype(jnp.float32)
     x = jnp.where(jnp.max(x) > 2.0, x / 255.0, x)
-    x = layers.interpolate(x, (resolution, resolution), method="bilinear")
+    x = layers.interpolate(x, (resolution, resolution), method="bilinear",
+                           antialias=True)
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
