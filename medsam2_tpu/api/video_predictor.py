@@ -45,18 +45,28 @@ class SAM2VideoPredictor:
         self.max_cond_frames = max_cond_frames
         self.fill_hole_area = fill_hole_area
         self.non_overlap_masks = non_overlap_masks
+        # Static worst-case spec (kept for callers that size banks up front);
+        # propagation uses a session spec sized to the actual prompt count so
+        # memory attention never pays kv for unused cond slots (the reference
+        # attends exactly the prompted frames, sam2_base.py:518-564).
         self.spec = mb.BankSpec.from_config(cfg, max_cond_frames=max_cond_frames)
         self._transforms = SAM2Transforms(resolution=cfg.image_size)
 
         self._encode = jax.jit(functools.partial(_encode_frame, cfg=cfg))
         self._prompt_step = jax.jit(
-            functools.partial(_prompt_step, cfg=cfg, spec=self.spec),
-            static_argnames=("multimask_output", "is_eval", "num_frames"),
+            functools.partial(_prompt_step, cfg=cfg),
+            static_argnames=("spec", "multimask_output", "is_eval", "num_frames"),
         )
         self._scan_track = jax.jit(
-            functools.partial(_scan_track, cfg=cfg, spec=self.spec),
-            static_argnames=("is_eval", "num_frames", "track_in_reverse"),
+            functools.partial(_scan_track, cfg=cfg),
+            static_argnames=("spec", "is_eval", "num_frames", "track_in_reverse"),
         )
+
+    def _session_spec(self, state) -> mb.BankSpec:
+        """Bank spec sized to the session's prompt count (capped at the
+        constructor's ``max_cond_frames``); jit caches per distinct size."""
+        n = max(1, min(len(state["cond_frame_idx"]), self.max_cond_frames))
+        return mb.BankSpec.from_config(self.cfg, max_cond_frames=n)
 
     @classmethod
     def for_eval(cls, params, cfg: SAM2Config, **kwargs):
@@ -98,7 +108,9 @@ class SAM2VideoPredictor:
             imgs = jnp.asarray(images)
         else:
             x = images.astype(np.float32)
-            if x.max() > 2.0:
+            # uint8 inputs always scale (an all-dark uint8 video must not skip
+            # /255); float inputs fall back to the range heuristic
+            if images.dtype == np.uint8 or x.max() > 2.0:
                 x = x / 255.0
             imgs = layers.interpolate(
                 jnp.asarray(x), (self.cfg.image_size, self.cfg.image_size),
@@ -215,8 +227,9 @@ class SAM2VideoPredictor:
     def _preview(self, state, frame_idx):
         """Lightweight interaction preview: run the prompt step for this frame
         only (memoryless) and return current masks for all objects."""
-        bank = mb.init_bank(self.spec, len(state["obj_ids"]))
-        out, _ = self._run_prompt_frame(state, bank, frame_idx)
+        spec = self._session_spec(state)
+        bank = mb.init_bank(spec, len(state["obj_ids"]))
+        out, _ = self._run_prompt_frame(state, bank, frame_idx, spec)
         return frame_idx, list(state["obj_ids"]), np.asarray(out["pred_masks"])
 
     # ------------------------------------------------------------------
@@ -254,7 +267,8 @@ class SAM2VideoPredictor:
         state["tracked"] = True
         num_frames = state["num_frames"]
         B = len(state["obj_ids"])
-        bank = mb.init_bank(self.spec, B)
+        spec = self._session_spec(state)
+        bank = mb.init_bank(spec, B)
 
         cond_frames = sorted(state["cond_frame_idx"])
         if start_frame_idx is None:
@@ -265,7 +279,7 @@ class SAM2VideoPredictor:
         # --- preflight: process prompt frames, write cond memories ---
         cond_outputs = {}
         for f in cond_frames:
-            out, bank = self._run_prompt_frame(state, bank, f)
+            out, bank = self._run_prompt_frame(state, bank, f, spec)
             cond_outputs[f] = out["pred_masks"]
 
         # --- frame order ---
@@ -289,18 +303,27 @@ class SAM2VideoPredictor:
             self.params, state["images"], bank,
             jnp.asarray(order, jnp.int32), jnp.asarray(is_cond),
             jnp.asarray(stored),
-            is_eval=state["is_eval"], num_frames=num_frames,
+            spec=spec, is_eval=state["is_eval"], num_frames=num_frames,
             track_in_reverse=reverse,
         )
         return order, masks
 
     # ------------------------------------------------------------------
 
-    def _run_prompt_frame(self, state, bank, frame_idx):
+    def _run_prompt_frame(self, state, bank, frame_idx, spec=None):
         """Assemble per-object prompts for a frame and run the prompt step."""
+        if spec is None:
+            spec = self._session_spec(state)
         B = len(state["obj_ids"])
-        P = self.cfg.max_prompt_points
         S = self.cfg.image_size
+        # Pad sparse prompts to this frame's max point count (capped at the
+        # config's static ceiling). The reference runs each object's prompt at
+        # its exact count (``sam2_video_predictor.py:292-360``); padding to the
+        # frame max keeps token counts identical whenever objects share a count
+        # (extra slots embed as not-a-point, the reference's own pad token).
+        P = max(1, min(self.cfg.max_prompt_points, max(
+            (len(state["point_inputs_per_obj"][o].get(frame_idx, ((), ()))[1])
+             for o in range(B)), default=1)))
         coords = np.zeros((B, P, 2), np.float32)
         labels = -np.ones((B, P), np.int32)
         mask_inputs = np.zeros((B, S, S, 1), np.float32)
@@ -329,7 +352,7 @@ class SAM2VideoPredictor:
             self.params, state["images"], bank, jnp.asarray(frame_idx, jnp.int32),
             jnp.asarray(coords), jnp.asarray(labels), jnp.asarray(mask_inputs),
             jnp.asarray(use_mask),
-            multimask_output=multimask, is_eval=state["is_eval"],
+            spec=spec, multimask_output=multimask, is_eval=state["is_eval"],
             num_frames=state["num_frames"],
         )
         return out, bank
@@ -394,7 +417,7 @@ def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
 
     maskmem_features, _ = sam2_model.encode_new_memory(
         params, cfg, feats[-1], high_res_masks,
-        is_mask_from_pts=True, binarize=is_eval,
+        is_mask_from_pts=~use_mask, binarize=is_eval,
         apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
     )
     bank = mb.write_bank(spec, bank, frame_idx, maskmem_features, obj_ptr,

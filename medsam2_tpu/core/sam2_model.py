@@ -239,18 +239,27 @@ def use_mask_as_output(params, cfg: SAM2Config, backbone_features, high_res_feat
 
 
 def encode_new_memory(params, cfg: SAM2Config, pix_feat: jnp.ndarray,
-                      pred_masks_high_res: jnp.ndarray, is_mask_from_pts: bool,
+                      pred_masks_high_res: jnp.ndarray, is_mask_from_pts,
                       binarize: bool = False, apply_non_overlap: bool = False):
     """``SAM2Base._encode_new_memory`` (``sam2_base.py:665-703``).
 
     pix_feat: [B, h, w, C]; pred_masks_high_res: [B, 1, H, W] logits.
+    ``is_mask_from_pts`` may be a static bool or a per-object [B] bool array
+    (a conditioning frame can mix point- and mask-prompted objects; only the
+    point-prompted ones binarize, ``sam2_base.py:676-681``).
     Returns (maskmem_features [B, h*w, D], spatial pos [h*w, D])."""
     masks = pred_masks_high_res.transpose(0, 2, 3, 1)  # [B, H, W, 1]
     if apply_non_overlap:
         masks = apply_non_overlapping_constraints(
             masks.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1)
-    if binarize and cfg.binarize_mask_from_pts_for_mem_enc and is_mask_from_pts:
-        mask_for_mem = (masks > 0).astype(jnp.float32)
+    if binarize and cfg.binarize_mask_from_pts_for_mem_enc:
+        binarized = (masks > 0).astype(jnp.float32)
+        sig = jax.nn.sigmoid(masks)
+        if isinstance(is_mask_from_pts, bool):
+            mask_for_mem = binarized if is_mask_from_pts else sig
+        else:
+            sel = jnp.asarray(is_mask_from_pts).reshape(-1, 1, 1, 1)
+            mask_for_mem = jnp.where(sel, binarized, sig)
     else:
         mask_for_mem = jax.nn.sigmoid(masks)
     mask_for_mem = mask_for_mem * cfg.sigmoid_scale_for_mem_enc + cfg.sigmoid_bias_for_mem_enc
@@ -302,7 +311,7 @@ def prepare_memory_conditioned_features(
 
     mem_h = cfg.sam_image_embedding_size
     spatial_pos = sine_pos_embed(mem_h, mem_h, cfg.mem_dim)
-    memory_tokens, memory_pos, valid, num_ptr_tokens = mb.read_bank(
+    memory_tokens, memory_pos, valid, num_ptr_tokens, ptr_tdiff = mb.read_bank(
         spec, bank, frame_idx,
         params["maskmem_tpos_enc"],
         spatial_pos.reshape(-1, cfg.mem_dim),
@@ -310,6 +319,22 @@ def prepare_memory_conditioned_features(
         obj_ptrs_in_past_only=(cfg.only_obj_ptrs_in_the_past_for_eval and is_eval),
         num_frames=num_frames,
     )
+    if cfg.use_obj_ptrs_in_encoder and cfg.add_tpos_enc_to_obj_ptrs:
+        # Temporal sine encoding of pointer distances, normalized by the max
+        # pointer reach; projected to mem_dim when configured
+        # (``sam2_base.py:617-634``).
+        from medsam2_tpu.core.pos_enc import get_1d_sine_pe
+
+        eff_max_ptrs = min(int(num_frames), cfg.max_obj_ptrs_in_encoder)
+        t_diff_max = max(eff_max_ptrs - 1, 1)
+        tpos_dim = cfg.hidden_dim if cfg.proj_tpos_enc_in_obj_ptrs else cfg.mem_dim
+        obj_pos = get_1d_sine_pe(ptr_tdiff.astype(jnp.float32) / t_diff_max, tpos_dim)
+        if cfg.proj_tpos_enc_in_obj_ptrs:
+            obj_pos = layers.linear_apply(params["obj_ptr_tpos_proj"], obj_pos)
+        obj_pos = jnp.repeat(obj_pos, spec.tokens_per_ptr, axis=1)   # [B, Nt, D]
+        memory_pos = jnp.concatenate(
+            [memory_pos[:, : spec.num_spatial_tokens],
+             obj_pos.astype(memory_pos.dtype)], axis=1)
     if not cfg.use_obj_ptrs_in_encoder:
         memory_tokens = memory_tokens[:, : spec.num_spatial_tokens]
         memory_pos = memory_pos[:, : spec.num_spatial_tokens]

@@ -20,7 +20,16 @@ their slots; pointer tokens are RoPE-excluded).
 Capacity caps (vs the reference's unbounded dicts): ``max_cond_frames`` bounds
 prompted frames per propagation (the reference grows memory without bound as
 prompts accumulate — at 8 prompts + 6 recent frames the attention already spans
-~57k tokens at 1024 px). Cond writes beyond the cap overwrite the last slot.
+~57k tokens at 1024 px). Cond writes beyond the cap evict the slot *farthest*
+from the new frame, so the retained set matches the reference's
+``select_closest_cond_frames`` (``sam2_utils.py:15-57``) with the current frame
+as the anchor. The video predictor sizes ``max_cond_frames`` to the session's
+actual prompt count, so memory attention never pays for unused cond kv slots.
+
+Object pointers are NOT capped at ``max_obj_ptrs``: the reference appends all
+selected cond-frame pointers *plus* up to ``min(num_frames, max_obj_ptrs) - 1``
+recent non-cond pointers (``sam2_base.py:583-635``), so pointer slots here are
+``max_cond_frames + max_obj_ptrs - 1`` with validity masks.
 """
 
 from __future__ import annotations
@@ -82,8 +91,14 @@ class BankSpec:
         return self.hidden_dim // self.mem_dim
 
     @property
+    def num_ptr_slots(self) -> int:
+        # all cond pointers + up to (max_obj_ptrs - 1) recent non-cond pointers
+        # (the reference has no total cap, sam2_base.py:594-612)
+        return self.max_cond_frames + self.max_obj_ptrs - 1
+
+    @property
     def num_ptr_tokens(self) -> int:
-        return self.max_obj_ptrs * self.tokens_per_ptr
+        return self.num_ptr_slots * self.tokens_per_ptr
 
     @property
     def total_tokens(self) -> int:
@@ -111,7 +126,15 @@ def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond:
     bank = dict(bank)
     frame_idx = jnp.asarray(frame_idx, jnp.int32)
     if is_cond:
-        slot = jnp.minimum(bank["cond_count"][0], spec.max_cond_frames - 1)
+        # Slot choice: re-prompting a stored frame overwrites its slot; else
+        # fill an empty slot; else evict the slot farthest from the new frame
+        # (keeps the closest-to-current cond frames, matching the selection of
+        # ``select_closest_cond_frames``, sam2_utils.py:15-57).
+        stored = bank["cond_frame_idx"][0]
+        big = jnp.iinfo(jnp.int32).max
+        key = jnp.where(stored == frame_idx, big,
+                        jnp.where(stored < 0, big - 1, jnp.abs(stored - frame_idx)))
+        slot = jnp.argmax(key)
         bank["cond_feats"] = jax.lax.dynamic_update_index_in_dim(
             bank["cond_feats"], maskmem_feats.astype(bank["cond_feats"].dtype), slot, 1)
         bank["cond_frame_idx"] = jax.lax.dynamic_update_index_in_dim(
@@ -157,11 +180,13 @@ def read_bank(
     track_in_reverse: bool = False,
     obj_ptrs_in_past_only: bool = False,
     num_frames: int = 2 ** 30,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int, jnp.ndarray]:
     """Assemble the fixed-shape memory for cross-attention at ``frame_idx``.
 
     Returns (memory [B, T, D], memory_pos [B, T, D], valid [B, T] bool,
-    num_obj_ptr_tokens static int). T = spec.total_tokens.
+    num_obj_ptr_tokens static int, ptr_tdiff [B, num_ptr_slots] int32 — the
+    per-pointer |t - frame_idx| used by the optional obj-ptr temporal sine
+    encoding, ``sam2_base.py:600-634``). T = spec.total_tokens.
     """
     B = bank["cond_feats"].shape[0]
     P, D = spec.mem_spatial, spec.mem_dim
@@ -202,10 +227,12 @@ def read_bank(
             cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] >= frame_idx)
         else:
             cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] <= frame_idx)
-    # non-cond pointers from the last (max_obj_ptrs - 1) frames
+    # non-cond pointers from the last min(num_frames, max_obj_ptrs) - 1 frames
+    # (the reference loop range, sam2_base.py:585,604-612; num_frames is static)
+    eff_max_ptrs = min(int(num_frames), spec.max_obj_ptrs)
     t_diff = jnp.arange(1, spec.max_obj_ptrs, dtype=jnp.int32)
     ptr_targets = frame_idx + t_diff if track_in_reverse else frame_idx - t_diff
-    ptr_in_range = (ptr_targets >= 0) & (ptr_targets < num_frames)
+    ptr_in_range = (ptr_targets >= 0) & (ptr_targets < num_frames) & (t_diff < eff_max_ptrs)
     pslots = jnp.remainder(jnp.clip(ptr_targets, 0, None), spec.ptr_ring)
     ring_ptrs = jnp.take(bank["ptr_ring"], pslots, axis=1)           # [B, F-1, C]
     ring_stored = jnp.take(bank["ptr_frame_idx"], pslots, axis=1)
@@ -216,24 +243,19 @@ def read_bank(
     dup = (ring_stored[:, :, None] == bank["cond_frame_idx"][:, None, :]) & cond_ptr_valid[:, None, :]
     ring_valid = ring_valid & ~jnp.any(dup, axis=-1)
 
-    # Cap total pointers at max_obj_ptrs (cond first, then nearest ring frames):
-    all_ptrs = jnp.concatenate([bank["cond_obj_ptr"], ring_ptrs], axis=1)  # [B, Mc+F-1, C]
-    all_valid = jnp.concatenate([cond_ptr_valid, ring_valid], axis=1)
-    order = jnp.cumsum(all_valid.astype(jnp.int32), axis=1)
-    all_valid = all_valid & (order <= spec.max_obj_ptrs)
-    # compress to the first max_obj_ptrs valid entries (stable gather by rank)
-    rank = jnp.where(all_valid, order - 1, spec.max_obj_ptrs)        # [B, Nall]
-    Nall = all_ptrs.shape[1]
-    onehot = jax.nn.one_hot(rank, spec.max_obj_ptrs, axis=-1, dtype=all_ptrs.dtype)  # [B, Nall, Mp]
-    ptrs = jnp.einsum("bnc,bnm->bmc", all_ptrs, onehot)              # [B, Mp, C]
-    ptr_valid = jnp.any(onehot > 0, axis=1)                          # [B, Mp]
+    # All cond pointers + ring pointers (the reference has no total cap).
+    all_ptrs = jnp.concatenate([bank["cond_obj_ptr"], ring_ptrs], axis=1)  # [B, Np, C]
+    all_valid = jnp.concatenate([cond_ptr_valid, ring_valid], axis=1)      # [B, Np]
+    all_t = jnp.concatenate([bank["cond_frame_idx"], ring_stored], axis=1)
+    ptr_tdiff = jnp.where(all_valid, jnp.abs(all_t - frame_idx), 0)        # [B, Np]
 
     tok = spec.tokens_per_ptr
-    ptr_tokens = ptrs.reshape(B, spec.max_obj_ptrs, tok, D).reshape(B, spec.num_ptr_tokens, D)
-    ptr_token_valid = jnp.repeat(ptr_valid, tok, axis=1)
+    ptr_tokens = all_ptrs.reshape(B, spec.num_ptr_slots, tok, D).reshape(
+        B, spec.num_ptr_tokens, D)
+    ptr_token_valid = jnp.repeat(all_valid, tok, axis=1)
     ptr_pos = jnp.zeros((B, spec.num_ptr_tokens, D), memory_sp.dtype)
 
     memory = jnp.concatenate([memory_sp, ptr_tokens.astype(memory_sp.dtype)], axis=1)
     memory_pos = jnp.concatenate([pos_sp, ptr_pos], axis=1)
     valid = jnp.concatenate([valid_sp, ptr_token_valid], axis=1)
-    return memory, memory_pos, valid, spec.num_ptr_tokens
+    return memory, memory_pos, valid, spec.num_ptr_tokens, ptr_tdiff

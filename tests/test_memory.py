@@ -55,7 +55,7 @@ def write_frames(spec, bank, frames, cond_frames):
 
 def decode_read(spec, bank, frame_idx, tpos, num_frames=2 ** 30):
     spatial_pos = jnp.zeros((spec.mem_spatial, spec.mem_dim))
-    memory, pos, valid, nptr = mb.read_bank(
+    memory, pos, valid, nptr, _ = mb.read_bank(
         spec, bank, frame_idx, tpos, spatial_pos, num_frames=num_frames)
     P = spec.mem_spatial
     frames = []
@@ -67,7 +67,7 @@ def decode_read(spec, bank, frame_idx, tpos, num_frames=2 ** 30):
     ptr_region = memory[0, spec.num_spatial_tokens:]
     ptr_valid = valid[0, spec.num_spatial_tokens:]
     tok = spec.tokens_per_ptr
-    ptrs = [float(ptr_region[i * tok, 0]) for i in range(spec.max_obj_ptrs)
+    ptrs = [float(ptr_region[i * tok, 0]) for i in range(spec.num_ptr_slots)
             if bool(ptr_valid[i * tok])]
     return frames, ptrs
 
@@ -119,6 +119,48 @@ def test_bank_num_frames_bound():
     # num_frames=3 restricts ptr window (reference: min(num_frames, max_obj_ptrs))
     _, ptrs = decode_read(spec, bank, 2, tpos, num_frames=3)
     assert set(ptrs) == {0.0, 1.0}
+
+
+def test_cond_overflow_keeps_closest():
+    """Cond writes beyond capacity evict the slot farthest from the new frame
+    (the retained set = ``select_closest_cond_frames`` anchored at the newest
+    prompt, ``sam2_utils.py:15-57``) instead of clobbering the last slot."""
+    spec = small_spec(num_maskmem=3, max_cond=2, max_ptrs=4)
+    bank = mb.init_bank(spec, 1)
+    bank = write_frames(spec, bank, [0], cond_frames={0})
+    bank = write_frames(spec, bank, [10], cond_frames={10})
+    bank = write_frames(spec, bank, [12], cond_frames={12})
+    stored = set(np.asarray(bank["cond_frame_idx"][0]).tolist())
+    assert stored == {10, 12}
+
+
+def test_cond_reprompt_overwrites_its_slot():
+    spec = small_spec(num_maskmem=3, max_cond=2, max_ptrs=4)
+    bank = mb.init_bank(spec, 1)
+    bank = write_frames(spec, bank, [0], cond_frames={0})
+    bank = write_frames(spec, bank, [5], cond_frames={5})
+    # re-prompt frame 0: must reuse frame 0's slot, not evict frame 5
+    feats = jnp.full((1, spec.mem_spatial, spec.mem_dim), 99.0)
+    ptr = jnp.full((1, spec.hidden_dim), 99.0)
+    bank = mb.write_bank(spec, bank, 0, feats, ptr, is_cond=True)
+    stored = sorted(np.asarray(bank["cond_frame_idx"][0]).tolist())
+    assert stored == [0, 5]
+    slot0 = int(np.asarray(jnp.argmax(bank["cond_frame_idx"][0] == 0)))
+    assert float(bank["cond_feats"][0, slot0, 0, 0]) == 99.0
+
+
+def test_ptr_tdiff_matches_pointer_distances():
+    spec = small_spec(num_maskmem=3, max_cond=2, max_ptrs=4)
+    bank = mb.init_bank(spec, 1)
+    bank = write_frames(spec, bank, range(6), cond_frames={0})
+    spatial_pos = jnp.zeros((spec.mem_spatial, spec.mem_dim))
+    tpos = jnp.zeros((spec.num_maskmem, spec.mem_dim))
+    memory, _, valid, _, tdiff = mb.read_bank(spec, bank, 6, tpos, spatial_pos)
+    tok = spec.tokens_per_ptr
+    for s in range(spec.num_ptr_slots):
+        if bool(valid[0, spec.num_spatial_tokens + s * tok]):
+            frame = float(memory[0, spec.num_spatial_tokens + s * tok, 0])
+            assert int(tdiff[0, s]) == abs(6 - int(frame))
 
 
 def test_memory_attention_mask_invariance(rng):
