@@ -159,22 +159,31 @@ def forward_sam_heads(
             is_obj_appearing[:, :, None, None], low_res_multimasks, NO_OBJ_SCORE)
 
     low_res_multimasks = low_res_multimasks.astype(jnp.float32)
-    # NHWC resize expects channels-last; masks are [B, M, h, w]
-    high_res_multimasks = layers.interpolate(
-        low_res_multimasks.transpose(0, 2, 3, 1), (cfg.image_size, cfg.image_size),
-        method="bilinear",
-    ).transpose(0, 3, 1, 2)
+
+    def upsample(masks):
+        # NHWC resize expects channels-last; masks are [B, M, h, w]
+        return layers.interpolate(
+            masks.transpose(0, 2, 3, 1), (cfg.image_size, cfg.image_size),
+            method="bilinear",
+        ).transpose(0, 3, 1, 2)
 
     sam_output_token = sam_output_tokens[:, 0]
     if multimask_output:
         best = jnp.argmax(ious, axis=-1)
         bidx = jnp.arange(B)
         low_res_masks = low_res_multimasks[bidx, best][:, None]
-        high_res_masks = high_res_multimasks[bidx, best][:, None]
         if sam_output_tokens.shape[1] > 1:
             sam_output_token = sam_output_tokens[bidx, best]
+        # Select BEFORE upsampling: the resize is per-mask independent, so
+        # upsampling only the argmax-IoU mask is exact and avoids resizing
+        # num_multimask_outputs full-res maps per frame (the reference
+        # interpolates all, sam2_base.py:364-371); the all-mask field below is
+        # the same values and dead-code-eliminated when unused.
+        high_res_masks = upsample(low_res_masks)
+        high_res_multimasks = upsample(low_res_multimasks)
     else:
-        low_res_masks, high_res_masks = low_res_multimasks, high_res_multimasks
+        low_res_masks = low_res_multimasks
+        high_res_masks = high_res_multimasks = upsample(low_res_multimasks)
 
     # Object pointer with occlusion handling (sam2_base.py:387-400)
     if cfg.use_obj_ptrs_in_encoder:
@@ -264,9 +273,13 @@ def encode_new_memory(params, cfg: SAM2Config, pix_feat: jnp.ndarray,
         mask_for_mem = jax.nn.sigmoid(masks)
     mask_for_mem = mask_for_mem * cfg.sigmoid_scale_for_mem_enc + cfg.sigmoid_bias_for_mem_enc
 
+    # The memory encoder runs in the compute dtype (the reference runs under
+    # bf16 autocast; the mask downsampler convs at full image resolution are
+    # bandwidth-bound, so fp32 would double their HBM traffic)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     feats, pos = memory_encoder_apply(
         params["memory_encoder"], cfg.memory_encoder,
-        pix_feat.astype(mask_for_mem.dtype), mask_for_mem, skip_mask_sigmoid=True,
+        pix_feat.astype(dt), mask_for_mem.astype(dt), skip_mask_sigmoid=True,
     )
     B, h, w, D = feats.shape
     return feats.reshape(B, h * w, D), pos.reshape(h * w, D)
@@ -284,9 +297,12 @@ def prepare_memory_conditioned_features(
     track_in_reverse: bool = False,
     num_frames: int = 2 ** 30,
     is_eval: bool = False,
+    dropout_key=None,
 ) -> jnp.ndarray:
     """``SAM2Base._prepare_memory_conditioned_features`` (``sam2_base.py:494-663``)
-    against the fixed-shape bank. Returns [B, h, w, C]."""
+    against the fixed-shape bank. Returns [B, h, w, C]. ``dropout_key``
+    activates the memory-attention training dropout (rate 0.1 in the reference,
+    ``memory_attention.py:33-99``); None = deterministic inference."""
     B, h, w, C = current_vision_feats.shape
     curr = current_vision_feats.reshape(B, h * w, C)
     curr_pos = current_vision_pos.reshape(B, h * w, C).astype(curr.dtype)
@@ -305,7 +321,7 @@ def prepare_memory_conditioned_features(
         out = memory_attention_apply(
             params["memory_attention"], cfg.memory_attention,
             curr, memory_tokens, curr_pos, memory_pos, q_hw=(w, h),
-            num_obj_ptr_tokens=0,
+            num_obj_ptr_tokens=0, dropout_key=dropout_key,
         )
         return out.reshape(B, h, w, C)
 
@@ -345,6 +361,7 @@ def prepare_memory_conditioned_features(
         params["memory_attention"], cfg.memory_attention,
         curr, memory_tokens.astype(curr.dtype), curr_pos, memory_pos.astype(curr.dtype),
         q_hw=(w, h), num_obj_ptr_tokens=num_ptr_tokens, kv_mask=valid,
+        dropout_key=dropout_key,
     )
     return out.reshape(B, h, w, C)
 
@@ -383,6 +400,7 @@ def track_step(
     num_frames: int = 2 ** 30,
     is_eval: bool = False,
     prev_sam_mask_logits: Optional[jnp.ndarray] = None,
+    dropout_key=None,
 ) -> Tuple[Dict, Dict]:
     """Single-frame pipeline (``sam2_base.py:705-800``): memory readout -> SAM
     heads -> memory write. Returns (outputs dict, updated bank)."""
@@ -398,6 +416,7 @@ def track_step(
             params, cfg, spec, bank, frame_idx, is_init_cond_frame,
             current_vision_feats[-1], current_vision_pos[-1],
             track_in_reverse=track_in_reverse, num_frames=num_frames, is_eval=is_eval,
+            dropout_key=dropout_key,
         )
         if prev_sam_mask_logits is not None:
             mask_inputs = prev_sam_mask_logits

@@ -54,6 +54,44 @@ def attn_apply(p, q, k, v, num_heads: int, kv_mask=None):
     return layers.linear_apply(p["out_proj"], _merge_heads(out))
 
 
+import functools
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _rope_half_perm(C: int, num_heads: int) -> np.ndarray:
+    """Per-head even-then-odd channel permutation: folds the interleaved RoPE
+    pairing (x[2i], x[2i+1]) into a half-split layout."""
+    hd = C // num_heads
+    base = np.concatenate([np.arange(0, hd, 2), np.arange(1, hd, 2)])
+    return np.concatenate([h * hd + base for h in range(num_heads)])
+
+
+def _linear_perm(p, x, perm):
+    """linear_apply with output channels permuted (folded into the weights —
+    a [C] gather on the parameter, not on the activations)."""
+    w = jnp.take(p["w"], perm, axis=1)
+    y = jnp.matmul(x, w.astype(x.dtype), precision=layers.PRECISION)
+    if "b" in p:
+        y = y + p["b"][perm].astype(x.dtype)
+    return y
+
+
+def _apply_rope_half(x, cos, sin, repeat: int = 1):
+    """RoPE on half-split channels: x [..., N, D] where the real/imag pair is
+    (x[..., i], x[..., D/2+i]) — contiguous slices, no stride-2 gathers.
+    Exactly ``apply_rope`` after the ``_rope_half_perm`` channel permutation."""
+    orig_dtype = x.dtype
+    hd = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    xr, xi = xf[..., : hd // 2], xf[..., hd // 2:]
+    if repeat > 1:
+        cos = jnp.tile(cos, (repeat, 1))
+        sin = jnp.tile(sin, (repeat, 1))
+    out = jnp.concatenate([xr * cos - xi * sin, xr * sin + xi * cos], axis=-1)
+    return out.astype(orig_dtype)
+
+
 def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
                     rope_theta: float = 10000.0, rope_k_repeat: bool = False,
                     num_k_exclude_rope: int = 0, kv_mask=None):
@@ -63,21 +101,29 @@ def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
     last ``num_k_exclude_rope`` k tokens (object pointers) skip rotation; when
     ``rope_k_repeat`` the q-grid tables tile across the k spatial tokens
     (one tile per memory frame).
+
+    TPU layout: the interleaved-pair rotation is rewritten as a half-split
+    rotation by permuting the q/k projection output channels (a shared channel
+    permutation of q and k leaves QK^T unchanged; v and the output projection
+    are untouched). This removes stride-2 channel gathers on the long memory
+    k tensor.
     """
-    qp = _split_heads(layers.linear_apply(p["q_proj"], q), num_heads)
-    kp = _split_heads(layers.linear_apply(p["k_proj"], k), num_heads)
+    C_int = p["q_proj"]["w"].shape[1]
+    perm = jnp.asarray(_rope_half_perm(C_int, num_heads))
+    qp = _split_heads(_linear_perm(p["q_proj"], q, perm), num_heads)
+    kp = _split_heads(_linear_perm(p["k_proj"], k, perm), num_heads)
     vp = _split_heads(layers.linear_apply(p["v_proj"], v), num_heads)
 
     head_dim = qp.shape[-1]
     w, h = q_hw
     cos, sin = axial_rope_cos_sin(head_dim, w, h, rope_theta)
-    qp = apply_rope(qp, cos, sin)
+    qp = _apply_rope_half(qp, cos, sin)
 
     nk = kp.shape[2]
     num_k_rope = nk - num_k_exclude_rope
     if num_k_rope > 0:
         repeat = num_k_rope // qp.shape[2] if rope_k_repeat else 1
-        k_rot = apply_rope(kp[:, :, :num_k_rope], cos, sin, repeat=repeat)
+        k_rot = _apply_rope_half(kp[:, :, :num_k_rope], cos, sin, repeat=repeat)
         kp = jnp.concatenate([k_rot, kp[:, :, num_k_rope:]], axis=2) \
             if num_k_exclude_rope > 0 else k_rot
 

@@ -51,9 +51,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, ac
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0].astype(jnp.float32)          # [bq, D]
-    k = k_ref[0].astype(jnp.float32)          # [bk, D]
-    v = v_ref[0].astype(jnp.float32)          # [bk, D]
+    # Dots run in the input dtype (bf16 hot path -> native MXU passes) with
+    # fp32 accumulation; fp32 inputs keep full-precision dots for parity tests.
+    q = q_ref[0]                              # [bq, D]
+    k = k_ref[0]                              # [bk, D]
+    v = v_ref[0]                              # [bk, D]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale  # [bq, bk]
     mask = mask_ref[0]                        # [1, bk] int32 (1 = valid)
@@ -68,7 +70,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_scratch, l_scratch, ac
     alpha = jnp.exp(m_prev - m_next)          # [bq, 1]
     l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     m_scratch[:] = m_next
     l_scratch[:] = l_next
 
@@ -150,11 +153,22 @@ def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
     return q_len >= 2048 and kv_len >= 2048 and head_dim >= 64
 
 
+def _flash_blocks(q_len: int, kv_len: int):
+    """Measured on v5e (scripts/calibrate_overhead.py): long-kv cross attention
+    prefers tall q blocks (2048/512: 163 TF/s vs 145 at 512/512); square
+    self/global attention prefers wide kv blocks (512/1024)."""
+    if kv_len >= 2 * q_len:
+        return 2048, 512
+    return 512, 1024
+
+
 def attention(q, k, v, kv_mask=None, scale=None, force: Optional[str] = None):
     """Dispatch to the flash kernel or the XLA path.
 
     ``force``: "flash" | "xla" | None (auto).
     """
     if force == "flash" or (force is None and _use_flash(q.shape[2], k.shape[2], q.shape[3])):
-        return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale)
+        bq, bk = _flash_blocks(q.shape[2], k.shape[2])
+        return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale,
+                               block_q=bq, block_k=bk)
     return sdpa_xla(q, k, v, kv_mask=kv_mask, scale=scale)
