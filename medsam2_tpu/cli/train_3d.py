@@ -199,7 +199,11 @@ def main(argv=None):
                     from medsam2_tpu.parallel import mesh as pmesh
                     batch = jax.tree_util.tree_map(jnp.asarray, batch)
                     batch = pmesh.shard_batch(batch, mesh)
-                params, opt_state, metrics = train_step(params, opt_state, batch)
+                # dropout active during training (the reference trains with
+                # memory-attention dropout 0.1)
+                key, dk = jax.random.split(key)
+                params, opt_state, metrics = train_step(params, opt_state,
+                                                        batch, dk)
                 if ema is not None and i % args.model_ema_steps == 0:
                     ema.update(params)
                 ml.update(**{k: float(v) for k, v in metrics.items()})

@@ -70,9 +70,9 @@ def _memory_attention_layer_apply(
     dropout (rate ``cfg.dropout``) applies only when a ``dropout_key`` is
     given (training); inference is deterministic."""
     act = layers.ACTIVATIONS[cfg.activation]
-    k1 = k2 = k3 = None
+    k1 = k2 = k3 = k4 = None
     if dropout_key is not None:
-        k1, k2, k3 = jax.random.split(dropout_key, 3)
+        k1, k2, k3, k4 = jax.random.split(dropout_key, 4)
 
     # Self-attention (pre-norm)
     tgt2 = layers.layer_norm_apply(p["norm1"], tgt)
@@ -92,9 +92,11 @@ def _memory_attention_layer_apply(
     )
     tgt = tgt + _dropout(tgt2, cfg.dropout, k2)
 
-    # FFN
+    # FFN (inner dropout after the activation, memory_attention.py:40,101-104)
     tgt2 = layers.layer_norm_apply(p["norm3"], tgt)
-    tgt2 = layers.linear_apply(p["linear2"], act(layers.linear_apply(p["linear1"], tgt2)))
+    tgt2 = layers.linear_apply(
+        p["linear2"], _dropout(act(layers.linear_apply(p["linear1"], tgt2)),
+                               cfg.dropout, k4))
     return tgt + _dropout(tgt2, cfg.dropout, k3)
 
 

@@ -33,7 +33,8 @@ class PrompterConfig:
     num_classes: int = 1
     hidden_dim: int = 256
     space: int = 16
-    dropout: float = 0.1  # reserved; heads run deterministic (dropout off)
+    dropout: float = 0.1  # head MLP dropout (dpa_p2pnet.py:65-75); active
+                          # only when prompter_apply gets a dropout_key
     use_sr_pfo: bool = True
 
     @property
@@ -88,10 +89,24 @@ def _head_mlp_init(key, in_dim, hidden, out_dim):
     }
 
 
-def _head_mlp_apply(p, x):
-    x = jax.nn.relu(layers.linear_apply(p["l1"], x))
-    x = jax.nn.relu(layers.linear_apply(p["l2"], x))
+def _head_mlp_apply(p, x, rate: float = 0.0, key=None):
+    """Linear->ReLU[->Dropout]->Linear->ReLU[->Dropout]->Linear; dropout after
+    each hidden ReLU matches the reference MLP (dpa_p2pnet.py:65-75) and is
+    active only when ``key`` is given (training)."""
+    k1 = k2 = None
+    if key is not None and rate > 0.0:
+        k1, k2 = jax.random.split(key)
+    x = _head_dropout(jax.nn.relu(layers.linear_apply(p["l1"], x)), rate, k1)
+    x = _head_dropout(jax.nn.relu(layers.linear_apply(p["l2"], x)), rate, k2)
     return layers.linear_apply(p["out"], x)
+
+
+def _head_dropout(x, rate: float, key):
+    if key is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 def sr_pfo_init(key, dim: int = 256, hidden: int = 512):
@@ -104,15 +119,18 @@ def sr_pfo_init(key, dim: int = 256, hidden: int = 512):
     }
 
 
-def sr_pfo_apply(p, feats: List[jnp.ndarray], sam_feature: jnp.ndarray):
+def sr_pfo_apply(p, feats: List[jnp.ndarray], sam_feature: jnp.ndarray,
+                 dropout_rate: float = 0.0, dropout_key=None):
     """SAM-guided point-feature optimization (``dpa_p2pnet.py:161-187``): each
     pyramid level goes through a shared per-pixel MLP and receives the scaled,
     MLP'd, conv-refined SAM semantic feature resized to its resolution."""
+    keys = (jax.random.split(dropout_key, len(feats) + 1)
+            if dropout_key is not None else [None] * (len(feats) + 1))
     sam = sam_feature * p["scale"].astype(sam_feature.dtype)
-    sam = _head_mlp_apply(p["mlp_p"], sam)
+    sam = _head_mlp_apply(p["mlp_p"], sam, dropout_rate, keys[0])
     out = []
-    for f in feats:
-        fm = _head_mlp_apply(p["mlp_p"], f)
+    for i, f in enumerate(feats):
+        fm = _head_mlp_apply(p["mlp_p"], f, dropout_rate, keys[i + 1])
         s = layers.interpolate(sam.astype(jnp.float32), f.shape[1:3],
                                method="bilinear").astype(f.dtype)
         s = layers.conv2d_apply(p["conv1"], s, explicit_padding=(1, 1))
@@ -127,7 +145,7 @@ def prompter_init(key, cfg: PrompterConfig):
     chans = bb.backbone_channels(cfg.backbone)
     d = cfg.hidden_dim
     p = {
-        "backbone": bb.resnet_init(ks[0], cfg.backbone),
+        "backbone": bb.backbone_init(ks[0], cfg.backbone),
         "neck": fpn_init(ks[1], chans, d),
         "neck1": fpn_init(ks[2], chans, d),
         "deform_layer": _head_mlp_init(ks[3], d, d, 2),
@@ -146,17 +164,24 @@ def prompter_init(key, cfg: PrompterConfig):
 
 
 def prompter_apply(params, cfg: PrompterConfig, images: jnp.ndarray,
-                   semantic_feature: Optional[jnp.ndarray] = None):
+                   semantic_feature: Optional[jnp.ndarray] = None,
+                   dropout_key=None):
     """images: [B, H, W, 3]; semantic_feature: optional SAM feature [B, h, w, C].
+    ``dropout_key`` activates head-MLP dropout (rate ``cfg.dropout``) for
+    training; None = deterministic.
 
     Returns (outputs dict {pred_coords [B, N, 2], pred_logits [B, N, C+1],
     pred_masks [B, H, W]}, pyramid feats list)."""
     B, H, W, _ = images.shape
-    trunk_feats = bb.resnet_apply(params["backbone"], images, cfg.backbone)
+    kd = ks = kr = kc = None
+    if dropout_key is not None and cfg.dropout > 0.0:
+        kd, ks, kr, kc = jax.random.split(dropout_key, 4)
+    trunk_feats = bb.backbone_apply(params["backbone"], images, cfg.backbone)
     feats = fpn_apply(params["neck"], trunk_feats, cfg.num_levels)
     feats1 = fpn_apply(params["neck1"], trunk_feats, 1)[0]
     if semantic_feature is not None and "sr_pfo" in params:
-        feats = sr_pfo_apply(params["sr_pfo"], feats, semantic_feature)
+        feats = sr_pfo_apply(params["sr_pfo"], feats, semantic_feature,
+                             cfg.dropout, ks)
 
     anchors = jnp.asarray(anchor_points(H, W, cfg.space))  # [N, 2]
     proposals = jnp.broadcast_to(anchors[None], (B, *anchors.shape))
@@ -168,7 +193,7 @@ def prompter_apply(params, cfg: PrompterConfig, images: jnp.ndarray,
 
     # DPP: deform proposals from level-0 features
     roi = grid_sample_points(feats[0], normalize(proposals, 0))
-    deltas = _head_mlp_apply(params["deform_layer"], roi)
+    deltas = _head_mlp_apply(params["deform_layer"], roi, cfg.dropout, kd)
     deformed = proposals + deltas.astype(proposals.dtype)
 
     # MSD: sample every level at the deformed points
@@ -182,9 +207,9 @@ def prompter_apply(params, cfg: PrompterConfig, images: jnp.ndarray,
     roi_map = layers.conv2d_apply(params["conv"], roi_map, explicit_padding=(1, 1))
     roi_feat = roi_map.reshape(B, gh * gw, -1)
 
-    deltas2refine = _head_mlp_apply(params["reg_head"], roi_feat)
+    deltas2refine = _head_mlp_apply(params["reg_head"], roi_feat, cfg.dropout, kr)
     pred_coords = deformed + deltas2refine.astype(deformed.dtype)
-    pred_logits = _head_mlp_apply(params["cls_head"], roi_feat)
+    pred_logits = _head_mlp_apply(params["cls_head"], roi_feat, cfg.dropout, kc)
 
     m = layers.conv2d_apply(params["mask_head"]["conv1"], feats1, explicit_padding=(1, 1))
     m = jax.nn.relu(bb.group_norm_apply(params["mask_head"]["gn"], m))

@@ -36,10 +36,12 @@ class Recipe2DConfig:
 
 
 def encode_and_condition(params, cfg: SAM2Config, images, bank, key,
-                         bank_nonempty: bool, num_samples: int):
+                         bank_nonempty: bool, num_samples: int,
+                         dropout_key=None):
     """Image encoder + similarity-bank memory conditioning
     (``func_2d/function.py:70-129``). Returns (image_embed, high_res_feats,
-    vision_feats list for the memory encoder)."""
+    vision_feats list for the memory encoder). ``dropout_key`` activates the
+    memory-attention training dropout (rate 0.1 in the reference)."""
     backbone_out = sam2_model.forward_image(
         params, cfg, images.astype(_dtype(cfg)))
     feats, pos, sizes = sam2_model.prepare_backbone_features(cfg, backbone_out)
@@ -57,7 +59,7 @@ def encode_and_condition(params, cfg: SAM2Config, images, bank, key,
             params["memory_attention"], cfg.memory_attention,
             top_tokens, memory.astype(top.dtype), pos_tokens,
             jnp.broadcast_to(mem_pos[None], (B, *mem_pos.shape)),
-            q_hw=(w, h), num_obj_ptr_tokens=0,
+            q_hw=(w, h), num_obj_ptr_tokens=0, dropout_key=dropout_key,
         )
         top = conditioned.reshape(B, h, w, C)
     # empty bank: the reference adds a zero parameter (a no-op, ``:87-89``)
@@ -84,14 +86,15 @@ def _dtype(cfg: SAM2Config):
 
 def forward_2d(params, cfg: SAM2Config, rcfg: Recipe2DConfig, images, coords,
                labels, bank, key, bank_nonempty: bool,
-               multimask_output: bool = False):
+               multimask_output: bool = False, dropout_key=None):
     """One 2D forward: returns (pred logits [B, out, out], iou_pred [B],
-    new bank, aux dict)."""
+    new bank, aux dict). ``dropout_key`` enables training dropout."""
     B = images.shape[0]
     num_samples = B
     k1, _ = jax.random.split(key)
     image_embed, high_res, vision_feats = encode_and_condition(
-        params, cfg, images, bank, k1, bank_nonempty, num_samples)
+        params, cfg, images, bank, k1, bank_nonempty, num_samples,
+        dropout_key=dropout_key)
 
     sparse, dense = prompt_encode_nograd(params, cfg, coords, labels)
     image_pe = sam2_model.prompt_encoder.get_dense_pe(params["sam_prompt_encoder"], cfg)
@@ -136,9 +139,12 @@ def make_train_step_2d(cfg: SAM2Config, rcfg: Recipe2DConfig, tx):
     gt_masks [B, out, out]."""
 
     def loss_fn(params, batch, bank, key, bank_nonempty):
+        # the reference trains with dropout active (memory_attention.py:33-99);
+        # the bank-sampling and dropout streams split from the step key
+        key, dk = jax.random.split(key)
         pred, iou_pred, bank, _ = forward_2d(
             params, cfg, rcfg, batch["images"], batch["coords"], batch["labels"],
-            bank, key, bank_nonempty)
+            bank, key, bank_nonempty, dropout_key=dk)
         gt = batch["gt_masks"]
         bce = bce_with_logits(pred, gt, rcfg.pos_weight).mean()
         dsc = dice_loss(pred, gt).mean()

@@ -78,8 +78,10 @@ def make_optimizers(params, cfg: SAM2Config, rcfg: Recipe3DConfig):
 
 
 def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConfig,
-                  batch: Dict):
-    """Losses for ONE volume.
+                  batch: Dict, dropout_key=None):
+    """Losses for ONE volume. ``dropout_key`` activates the memory-attention
+    training dropout (reference trains with rate 0.1, memory_attention.py:33-99);
+    None = deterministic.
 
     batch (single volume):
       images        [T, S, S, 3]  normalized
@@ -128,10 +130,15 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
         gt_np = gt[jnp.asarray(non_prompt_frames)]
         from medsam2_tpu.core.hiera import _get_pos_embed
         trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
+        if dropout_key is not None:
+            frame_keys = jax.random.split(dropout_key, len(non_prompt_frames))
+        else:
+            # dummy keys carried through the scan but never used
+            frame_keys = jnp.zeros((len(non_prompt_frames), 2), jnp.uint32)
 
         @jax.checkpoint
         def body(bank, xs):
-            frame_idx, frame_gt = xs
+            frame_idx, frame_gt, fkey = xs
             frame = jax.lax.dynamic_index_in_dim(images, frame_idx, 0, keepdims=True)
             feats, pos = _encode_frame(params, frame, cfg=cfg,
                                        trunk_pos_embed=trunk_pe)
@@ -143,10 +150,11 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
                 multimask_output=sam2_model.use_multimask(cfg, False, 0),
                 run_mem_encoder=True, is_cond_frame=False,
                 num_frames=T, is_eval=False,
+                dropout_key=fkey if dropout_key is not None else None,
             )
             return bank, frame_loss(out["pred_masks_high_res"], frame_gt)
 
-        _, losses = jax.lax.scan(body, bank, (frame_ids, gt_np))
+        _, losses = jax.lax.scan(body, bank, (frame_ids, gt_np, frame_keys))
         non_prompt_loss = jnp.sum(losses)
     else:
         non_prompt_loss = jnp.asarray(0.0)
@@ -168,17 +176,28 @@ def make_train_step(cfg: SAM2Config, rcfg: Recipe3DConfig, tx):
     """
     spec = mb.BankSpec.from_config(cfg, max_cond_frames=rcfg.max_cond_frames)
 
-    def losses_fn(params, batch):
-        per_vol = jax.vmap(
-            lambda b: volume_losses(params, cfg, spec, rcfg, b), in_axes=(0,)
-        )(batch)
+    def losses_fn(params, batch, key=None):
+        if key is not None:
+            n_vol = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            vol_keys = jax.random.split(key, n_vol)
+            per_vol = jax.vmap(
+                lambda b, k: volume_losses(params, cfg, spec, rcfg, b,
+                                           dropout_key=k),
+            )(batch, vol_keys)
+        else:
+            per_vol = jax.vmap(
+                lambda b: volume_losses(params, cfg, spec, rcfg, b), in_axes=(0,)
+            )(batch)
         prompt_loss = jnp.mean(per_vol[0])
         non_prompt_loss = jnp.mean(per_vol[1])
         return prompt_loss, non_prompt_loss
 
-    def train_step(params, opt_state, batch):
+    def train_step(params, opt_state, batch, key=None):
+        """``key``: optional PRNG key enabling memory-attention dropout for
+        this step (the reference trains with dropout 0.1 active); omit for a
+        deterministic step."""
         (prompt_loss, non_prompt_loss), vjp_fn = jax.vjp(
-            lambda p: losses_fn(p, batch), params)
+            lambda p: losses_fn(p, batch, key), params)
         # reference grad flow: optimizer2 (mem) sees only d(non_prompt);
         # optimizer1 (decoder) steps on accumulated d(prompt) + d(non_prompt)
         g_np = vjp_fn((jnp.zeros_like(non_prompt_loss), jnp.ones_like(non_prompt_loss)))[0]

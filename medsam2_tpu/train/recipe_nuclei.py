@@ -61,7 +61,7 @@ def find_nearest_points(pred_coords: jnp.ndarray, gt_points: jnp.ndarray,
 
 
 def forward_nuclei(params, cfg: SAM2Config, rcfg: NucleiRecipeConfig, batch,
-                   bank, key, bank_nonempty: bool):
+                   bank, key, bank_nonempty: bool, dropout_key=None):
     """Joint forward. batch:
       images       [B, S, S, 3]
       gt_points    [B, M, 2]   chosen cell centers (prefix-valid padding)
@@ -74,8 +74,15 @@ def forward_nuclei(params, cfg: SAM2Config, rcfg: NucleiRecipeConfig, batch,
     B, S = batch["images"].shape[0], cfg.image_size
     M = rcfg.max_cells
 
+    # dropout streams: [0] prompter heads, [1] memory attention. The
+    # precompute matcher path re-derives stream [0] with the same split so the
+    # Hungarian match sees the exact coords the grad step recomputes.
+    dkp = dkm = None
+    if dropout_key is not None:
+        dkp, dkm = jax.random.split(dropout_key)
     outputs, _ = prompter_apply(
-        params["prompter"], rcfg.prompter, batch["images"], None)
+        params["prompter"], rcfg.prompter, batch["images"], None,
+        dropout_key=dkp)
 
     nearest = find_nearest_points(outputs["pred_coords"], batch["gt_points"],
                                   batch["gt_valid"])
@@ -83,7 +90,8 @@ def forward_nuclei(params, cfg: SAM2Config, rcfg: NucleiRecipeConfig, batch,
 
     k1, _ = jax.random.split(key)
     image_embed, high_res, vision_feats = encode_and_condition(
-        params["sam2"], cfg, batch["images"], bank, k1, bank_nonempty, B)
+        params["sam2"], cfg, batch["images"], bank, k1, bank_nonempty, B,
+        dropout_key=dkm)
 
     # per-cell prompts: flatten [B, M] cells -> rows with image_indices
     coords = nearest.reshape(B * M, 1, 2)
@@ -138,9 +146,11 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
         matcher_mode = "callback" if backend_supports_callbacks() else "precompute"
     assert matcher_mode in ("callback", "precompute")
 
-    def loss_fn(params, batch, bank, key, bank_nonempty, precomputed_idx=None):
+    def loss_fn(params, batch, bank, key, bank_nonempty, precomputed_idx=None,
+                dropout_key=None):
         outputs, pred_cells, iou_cells, _, bank = forward_nuclei(
-            params, cfg, rcfg, batch, bank, key, bank_nonempty)
+            params, cfg, rcfg, batch, bank, key, bank_nonempty,
+            dropout_key=dropout_key)
 
         if precomputed_idx is None:
             src_idx = hungarian_match(
@@ -175,10 +185,10 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
         return total, (bank, metrics)
 
     def grad_step(params, opt_state, batch, bank, key, bank_nonempty: bool,
-                  precomputed_idx):
+                  precomputed_idx, dropout_key=None):
         (loss, (bank, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, bank, key, bank_nonempty,
-                                   precomputed_idx)
+                                   precomputed_idx, dropout_key)
         if rcfg.clip_grad > 0:
             gnorm = optax.global_norm(grads["prompter"])
             scale = jnp.minimum(1.0, rcfg.clip_grad / jnp.maximum(gnorm, 1e-9))
@@ -196,8 +206,11 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
                          static_argnames=("bank_nonempty",))
 
         def train_step(params, opt_state, batch, bank, key, bank_nonempty: bool):
+            # the reference trains with dropout 0.1 active in memory attention
+            # and the prompter head MLPs; streams split off the step key
+            key, dk = jax.random.split(key)
             return jitted(params, opt_state, batch, bank, key,
-                          bank_nonempty=bank_nonempty)
+                          bank_nonempty=bank_nonempty, dropout_key=dk)
         return train_step
 
     # precompute mode: jitted prompter forward -> host Hungarian -> jitted grad
@@ -205,18 +218,22 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
     from medsam2_tpu.prompter.matcher import hungarian_match_host
 
     prompter_fwd = jax.jit(
-        lambda params, images: prompter_apply(
-            params["prompter"], rcfg.prompter, images, None)[0])
+        lambda params, images, dkp: prompter_apply(
+            params["prompter"], rcfg.prompter, images, None, dropout_key=dkp)[0])
     grad_step_jit = jax.jit(grad_step, static_argnames=("bank_nonempty",))
 
     def train_step(params, opt_state, batch, bank, key, bank_nonempty: bool):
-        outputs = prompter_fwd(params, batch["images"])
+        key, dk = jax.random.split(key)
+        # same split as forward_nuclei, so the match forward reproduces the
+        # grad step's dropout pattern exactly
+        dkp, _ = jax.random.split(dk)
+        outputs = prompter_fwd(params, batch["images"], dkp)
         src_idx = hungarian_match_host(
             rcfg.matcher, np.asarray(outputs["pred_coords"]),
             np.asarray(outputs["pred_logits"]), np.asarray(batch["gt_points"]),
             np.asarray(batch["gt_labels"]), np.asarray(batch["gt_valid"]))
         return grad_step_jit(params, opt_state, batch, bank, key, bank_nonempty,
-                             jnp.asarray(src_idx))
+                             jnp.asarray(src_idx), dropout_key=dk)
 
     return train_step
 
