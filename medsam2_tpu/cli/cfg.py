@@ -33,6 +33,9 @@ def parse_args(argv=None):
                         help='type of prompt, bbox or click')
     parser.add_argument('-prompt_freq', type=int, default=2,
                         help='frequency of giving prompt in 3D images')
+    parser.add_argument('-augment', type=int, default=1,
+                        help='nuclei training augmentation (crop/flip/rot90/'
+                             'color jitter) on=1 / off=0')
     parser.add_argument('-pretrain', type=str, default=None,
                         help='path of pretrain weights (torch .pt or orbax dir)')
     parser.add_argument('-val_freq', type=int, default=3)

@@ -146,7 +146,7 @@ def train_nuclei(args, cfg, logger, paths):
     else:
         cls = {"monuseg": MONUSEG, "cpm": CPM}[args.dataset]
         train_ds = cls(args.data_path, "train", args.image_size, args.out_size,
-                       seed=args.seed)
+                       seed=args.seed, augment=bool(getattr(args, "augment", 1)))
         val_ds = cls(args.data_path, "test", args.image_size, args.out_size)
 
     collate = lambda s: pack_nuclei_batch(s, args.image_size, args.out_size,

@@ -36,13 +36,21 @@ class MONUSEG:
 
     def __init__(self, data_path: str, mode: str = "train", image_size: int = 256,
                  out_size: int = 256, num_mask_per_img: int = 150,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, augment=None):
+        """``augment``: a :class:`~medsam2_tpu.data.augment.NucleiAugmentConfig`
+        enabling the reference's training augmentation stack
+        (``func_2d/monuseg.py:39-55``); applied in train mode only. Pass
+        ``True`` for the default config."""
         self.data_path = data_path
         self.mode = mode
         self.image_size = image_size
         self.out_size = out_size
         self.num_mask_per_img = num_mask_per_img
         self.rng = np.random.default_rng(seed)
+        if augment is True:
+            from medsam2_tpu.data.augment import NucleiAugmentConfig
+            augment = NucleiAugmentConfig(crop_size=image_size)
+        self.augment = augment if mode == "train" else None
         self.image_root = os.path.join(data_path, mode, self.image_dirname)
         self.label_root = os.path.join(data_path, mode, self.label_dirname)
         self.paths = sorted(os.listdir(self.image_root))
@@ -64,6 +72,9 @@ class MONUSEG:
 
     def __getitem__(self, index) -> Dict:
         img, inst_map, path = self._load(index)
+        if self.augment is not None:
+            from medsam2_tpu.data.augment import augment_nuclei
+            img, inst_map = augment_nuclei(img, inst_map, self.augment, self.rng)
         ori_shape = inst_map.shape[:2]
         pids = np.unique(inst_map)
         pids = pids[pids > 0]
