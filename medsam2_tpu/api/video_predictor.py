@@ -94,19 +94,32 @@ class SAM2VideoPredictor:
 
         images: [T, H, W, 3] RGB float/uint8 (video resolution), or
         video_path: directory of ``<idx>.jpg`` frames (``utils/misc.py:163-213``).
+
+        ``async_loading_frames``: decode JPEG frames in a background thread so
+        the session starts immediately (the reference's AsyncVideoFrameLoader,
+        ``utils/misc.py:104-160``); the video materializes lazily at first use.
+        ``offload_video_to_cpu``: keep the video in host memory and transfer it
+        per propagation call instead of pinning it in HBM.
+        ``offload_state_to_cpu``: accepted for signature parity; session state
+        here is host-side by construction (prompts are numpy, the memory bank
+        is created per propagation inside jit), so there is nothing to offload.
         """
+        loader = None
         if images is None:
-            images, video_height, video_width = _load_video_frames_dir(
-                video_path, self.cfg.image_size)
-            already_normalized = True
+            if async_loading_frames:
+                loader = _AsyncFrameLoader(video_path, self.cfg.image_size)
+                imgs = None
+                num_frames = len(loader)
+                video_height, video_width = loader.video_height, loader.video_width
+            else:
+                imgs, video_height, video_width = _load_video_frames_dir(
+                    video_path, self.cfg.image_size)
+                num_frames = int(imgs.shape[0])
+                if offload_video_to_cpu:
+                    imgs = np.asarray(imgs)
         else:
             images = np.asarray(images)
             video_height, video_width = images.shape[1], images.shape[2]
-            already_normalized = False
-
-        if already_normalized:
-            imgs = jnp.asarray(images)
-        else:
             x = images.astype(np.float32)
             # uint8 inputs always scale (an all-dark uint8 video must not skip
             # /255); float inputs fall back to the range heuristic
@@ -116,10 +129,15 @@ class SAM2VideoPredictor:
                 jnp.asarray(x), (self.cfg.image_size, self.cfg.image_size),
                 method="bilinear")
             imgs = (imgs - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            num_frames = int(imgs.shape[0])
+            if offload_video_to_cpu:
+                imgs = np.asarray(imgs)
 
         state = {
             "images": imgs,                     # [T, S, S, 3] normalized
-            "num_frames": int(imgs.shape[0]),
+            "async_loader": loader,
+            "offload_video": bool(offload_video_to_cpu),
+            "num_frames": num_frames,
             "video_height": int(video_height),
             "video_width": int(video_width),
             "obj_id_to_idx": {},
@@ -131,6 +149,16 @@ class SAM2VideoPredictor:
             "is_eval": True,
         }
         return state
+
+    def _session_images(self, state):
+        """The session video as a device array, materializing the async loader
+        and/or transferring a host-offloaded video on demand."""
+        if state.get("async_loader") is not None:
+            arr = state["async_loader"].wait()
+            state["images"] = arr if state.get("offload_video") else jnp.asarray(arr)
+            state["async_loader"] = None
+        imgs = state["images"]
+        return jnp.asarray(imgs) if isinstance(imgs, np.ndarray) else imgs
 
     def val_init_state(self, imgs_tensor) -> Dict:
         """Session from a preprocessed [T, 3, S, S] or [T, S, S, 3] tensor
@@ -300,7 +328,7 @@ class SAM2VideoPredictor:
                 stored[i] = np.asarray(cond_outputs[f], np.float32)
 
         masks = self._scan_track(
-            self.params, state["images"], bank,
+            self.params, self._session_images(state), bank,
             jnp.asarray(order, jnp.int32), jnp.asarray(is_cond),
             jnp.asarray(stored),
             spec=spec, is_eval=state["is_eval"], num_frames=num_frames,
@@ -349,7 +377,8 @@ class SAM2VideoPredictor:
                 use_mask[obj_idx] = True
         multimask = sam2_model.use_multimask(self.cfg, True, max_pts)
         out, bank = self._prompt_step(
-            self.params, state["images"], bank, jnp.asarray(frame_idx, jnp.int32),
+            self.params, self._session_images(state), bank,
+            jnp.asarray(frame_idx, jnp.int32),
             jnp.asarray(coords), jnp.asarray(labels), jnp.asarray(mask_inputs),
             jnp.asarray(use_mask),
             spec=spec, multimask_output=multimask, is_eval=state["is_eval"],
@@ -552,21 +581,72 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
     return jax.vmap(one_volume)(videos, prompt_coords, prompt_labels)
 
 
-def _load_video_frames_dir(video_path: str, image_size: int):
-    """Load ``<idx>.jpg`` frames from a directory (``utils/misc.py:163-213``)."""
-    from PIL import Image
-
+def _frame_paths(video_path: str):
     names = [p for p in os.listdir(video_path)
              if os.path.splitext(p)[-1].lower() in (".jpg", ".jpeg")]
     names.sort(key=lambda p: int(os.path.splitext(p)[0]))
     if not names:
         raise RuntimeError(f"no JPEG frames found in {video_path}")
+    return [os.path.join(video_path, n) for n in names]
+
+
+def _decode_frame(path: str, image_size: int):
+    """One JPEG -> normalized float32 [S, S, 3] + original (h, w)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    vw, vh = img.size
+    img = img.resize((image_size, image_size))
+    arr = np.asarray(img, np.float32) / 255.0
+    return ((arr - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32), vh, vw
+
+
+def _load_video_frames_dir(video_path: str, image_size: int):
+    """Load ``<idx>.jpg`` frames from a directory (``utils/misc.py:163-213``)."""
     frames = []
     vh = vw = None
-    for name in names:
-        img = Image.open(os.path.join(video_path, name)).convert("RGB")
-        vw, vh = img.size
-        img = img.resize((image_size, image_size))
-        frames.append(np.asarray(img, np.float32) / 255.0)
-    arr = (np.stack(frames) - IMAGENET_MEAN) / IMAGENET_STD
-    return jnp.asarray(arr), vh, vw
+    for path in _frame_paths(video_path):
+        f, vh, vw = _decode_frame(path, image_size)
+        frames.append(f)
+    return jnp.asarray(np.stack(frames)), vh, vw
+
+
+class _AsyncFrameLoader:
+    """Background-thread JPEG decoding (the reference's AsyncVideoFrameLoader,
+    ``utils/misc.py:104-160``, redesigned for the scan-based propagation: the
+    session starts immediately while a daemon thread fills a preallocated host
+    array; ``wait()`` joins and hands the full video over in one transfer —
+    TPU propagation is a single ``lax.scan`` over a device tensor, so
+    per-frame device puts would only add dispatch latency)."""
+
+    def __init__(self, video_path: str, image_size: int):
+        import threading
+
+        self.paths = _frame_paths(video_path)
+        # first frame synchronously: fills video_height/width and is the frame
+        # the user will interact with (same choice as the reference)
+        first, self.video_height, self.video_width = _decode_frame(
+            self.paths[0], image_size)
+        self.frames = np.empty((len(self.paths), image_size, image_size, 3),
+                               np.float32)
+        self.frames[0] = first
+        self.exception = None
+
+        def _load_rest():
+            try:
+                for i in range(1, len(self.paths)):
+                    self.frames[i] = _decode_frame(self.paths[i], image_size)[0]
+            except Exception as e:  # surfaced on wait()
+                self.exception = e
+
+        self.thread = threading.Thread(target=_load_rest, daemon=True)
+        self.thread.start()
+
+    def __len__(self):
+        return len(self.paths)
+
+    def wait(self) -> np.ndarray:
+        self.thread.join()
+        if self.exception is not None:
+            raise RuntimeError("Failure in frame loading thread") from self.exception
+        return self.frames
