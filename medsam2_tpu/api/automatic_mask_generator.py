@@ -73,6 +73,9 @@ class SAM2AutomaticMaskGenerator:
 
         self._decode_grid = jax.jit(_decode_point_grid, static_argnames=("cfg",))
         self._refine_m2m = jax.jit(_refine_with_m2m, static_argnames=("cfg",))
+        self._score = jax.jit(
+            _score_and_pack_masks,
+            static_argnames=("out_hw", "mask_threshold", "stability_offset"))
 
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """image: HWC uint8 RGB -> list of mask records (``:152-204``)."""
@@ -179,37 +182,43 @@ class SAM2AutomaticMaskGenerator:
             low_res, iou_preds = self._refine_m2m(
                 self.predictor.params, self.predictor._features, coords, labels,
                 low_res[bidx, best][:, None], cfg=self.cfg)
-        # upsample to crop size
-        masks = tr.postprocess_masks(low_res, im_size)
-        masks = np.asarray(masks, np.float32)[:n_real]
-        iou_preds = np.asarray(iou_preds, np.float32)[:n_real]
+        # Scoring runs ON DEVICE (upsample to crop size, stability, boxes,
+        # thresholded masks bit-packed): pulling the fp32 mask stack to the
+        # host per batch moves ~0.8 GB over the device link at the default
+        # config; the packed binary masks + scalars are ~30x smaller and only
+        # the filter survivors are ever unpacked.
+        iou_flat, stability, boxes, packed = self._score(
+            low_res, iou_preds, out_hw=tuple(im_size),
+            mask_threshold=self.mask_threshold,
+            stability_offset=self.stability_score_offset)
+        M = low_res.shape[1]
+        nrm = n_real * M
+        iou_flat = np.asarray(iou_flat, np.float32)[:nrm]
+        stability = np.asarray(stability, np.float32)[:nrm]
+        boxes = np.asarray(boxes, np.float32)[:nrm]
+        packed = np.asarray(packed)[:nrm]
 
-        B, M = masks.shape[:2]
-        data = amg.MaskData(
-            masks=masks.reshape(B * M, *masks.shape[2:]),
-            iou_preds=iou_preds.reshape(B * M),
-            points=np.repeat(points, M, axis=0),
-        )
-
+        keep = np.ones(nrm, bool)
         if self.pred_iou_thresh > 0.0:
-            data.filter(data["iou_preds"] > self.pred_iou_thresh)
-
-        data["stability_score"] = np.asarray(amg.calculate_stability_score(
-            data["masks"], self.mask_threshold, self.stability_score_offset))
+            keep &= iou_flat > self.pred_iou_thresh
         if self.stability_score_thresh > 0.0:
-            data.filter(data["stability_score"] >= self.stability_score_thresh)
+            keep &= stability >= self.stability_score_thresh
+        keep &= ~amg.is_box_near_crop_edge(
+            boxes, crop_box, [0, 0, orig_w, orig_h])
 
-        data["masks"] = data["masks"] > self.mask_threshold
-        data["boxes"] = amg.batched_mask_to_box(data["masks"])
+        kept_idx = np.flatnonzero(keep)
+        H, W = im_size
+        masks = np.unpackbits(
+            packed[kept_idx], axis=-1, count=W).astype(bool)   # [K, H, W]
 
-        keep = ~amg.is_box_near_crop_edge(
-            data["boxes"], crop_box, [0, 0, orig_w, orig_h])
-        if not np.all(keep):
-            data.filter(keep)
-
-        data["masks"] = amg.uncrop_masks(data["masks"], crop_box, orig_h, orig_w)
-        data["rles"] = amg.mask_to_rle(data["masks"])
-        del data["masks"]
+        data = amg.MaskData(
+            iou_preds=iou_flat[kept_idx],
+            points=np.repeat(points, M, axis=0)[kept_idx],
+            stability_score=stability[kept_idx],
+            boxes=boxes[kept_idx],
+        )
+        masks = amg.uncrop_masks(masks, crop_box, orig_h, orig_w)
+        data["rles"] = amg.mask_to_rle(masks)
         return data
 
     @staticmethod
@@ -262,6 +271,45 @@ def _refine_with_m2m(params, features, coords, labels, mask_input, *,
         multimask_output=False,
     )
     return out.low_res_multimasks, out.ious
+
+
+def _batched_mask_to_box_dev(masks: jnp.ndarray) -> jnp.ndarray:
+    """Device XYXY boxes around bool masks [N, H, W]; empty -> zeros
+    (the min/max trick of ``amg.py:305-348``)."""
+    N, h, w = masks.shape
+    in_h = jnp.any(masks, axis=-1)                       # [N, h]
+    hc = in_h * jnp.arange(h)[None, :]
+    bottom = jnp.max(hc, axis=-1)
+    top = jnp.min(hc + h * (~in_h), axis=-1)
+    in_w = jnp.any(masks, axis=-2)                       # [N, w]
+    wc = in_w * jnp.arange(w)[None, :]
+    right = jnp.max(wc, axis=-1)
+    left = jnp.min(wc + w * (~in_w), axis=-1)
+    empty = (right < left) | (bottom < top)
+    box = jnp.stack([left, top, right, bottom], axis=-1).astype(jnp.float32)
+    return jnp.where(empty[:, None], 0.0, box)
+
+
+def _score_and_pack_masks(low_res, iou_preds, *, out_hw, mask_threshold: float,
+                          stability_offset: float):
+    """Upsample low-res logits to ``out_hw`` and compute everything the AMG
+    filters need, on device: flat IoU predictions, stability scores, boxes,
+    and the thresholded masks bit-packed along the width axis (uint8)."""
+    from medsam2_tpu.core import layers
+
+    B, M = low_res.shape[:2]
+    up = layers.interpolate(
+        low_res.astype(jnp.float32).transpose(0, 2, 3, 1), out_hw,
+        method="bilinear").transpose(0, 3, 1, 2)
+    flat = up.reshape(B * M, *out_hw)
+    inter = jnp.sum((flat > (mask_threshold + stability_offset)), axis=(-1, -2))
+    union = jnp.sum((flat > (mask_threshold - stability_offset)), axis=(-1, -2))
+    stability = inter.astype(jnp.float32) / jnp.maximum(
+        union.astype(jnp.float32), 1.0)
+    binary = flat > mask_threshold
+    boxes = _batched_mask_to_box_dev(binary)
+    packed = jnp.packbits(binary, axis=-1)
+    return iou_preds.reshape(B * M), stability, boxes, packed
 
 
 def _decode_point_grid(params, features, coords, labels, *, cfg: SAM2Config):
