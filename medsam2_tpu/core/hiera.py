@@ -24,6 +24,14 @@ from medsam2_tpu.core import layers
 from medsam2_tpu.ops.attention import attention
 
 
+# NOTE (measured, v5e): packing G tiny windows into one block-diagonal masked
+# attention (G*n x G*n logits, exact via -1e30 masking) was tried for the
+# seq-16/49/64 window stages and is NET NEGATIVE (stage1 0.77 -> 1.08 ms;
+# stage2/4 flat): XLA already batches the tiny matmuls well enough that the
+# G-fold extra logits FLOPs only add work. Per-block cost is dominated by
+# projections/MLP + layout ops, not the window attention.
+
+
 def hiera_init(key, cfg: HieraConfig):
     keys = jax.random.split(key, cfg.depth + 3)
     params = {

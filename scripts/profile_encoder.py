@@ -57,7 +57,10 @@ def main():
 
     def upto(k):
         def fn(c):
-            x = _patch_embed_s2d(trunk["patch_embed"]["proj"], frame + c * 0, tcfg)
+            # keep the carry in the frame dtype (a fp32 carry would promote
+            # the whole trunk to fp32)
+            x = _patch_embed_s2d(trunk["patch_embed"]["proj"],
+                                 frame + c.astype(frame.dtype) * 0, tcfg)
             x = x + pe.astype(x.dtype)
             for i in range(k):
                 x = _block_apply(trunk["blocks"][i], x, schedule[i])

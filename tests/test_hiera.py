@@ -227,3 +227,4 @@ def test_image_encoder_output_shapes():
     assert len(out["backbone_fpn"]) == 3  # scalp drops lowest-res level
     assert out["vision_features"].shape == (1, 2, 2, 256)
     assert out["backbone_fpn"][0].shape == (1, 8, 8, 256)
+

@@ -212,3 +212,33 @@ def test_automatic_mask_generator_smoke():
                           "point_coords", "stability_score", "crop_box"}
         assert r["segmentation"].shape == (64, 64)
         assert r["area"] == r["segmentation"].sum()
+
+
+def test_amg_device_scoring_matches_host_helpers(rng):
+    """_score_and_pack_masks == the host-side amg_utils pipeline: stability,
+    boxes, and the bit-packed thresholded masks."""
+    from medsam2_tpu.api.automatic_mask_generator import _score_and_pack_masks
+    from medsam2_tpu.postproc import amg_utils as amg
+
+    B, M, h = 3, 2, 16
+    out_hw = (40, 40)
+    low = jnp.asarray(rng.standard_normal((B, M, h, h)).astype(np.float32) * 4)
+    ious = jnp.asarray(rng.random((B, M)).astype(np.float32))
+
+    iou_f, stab, boxes, packed = _score_and_pack_masks(
+        low, ious, out_hw=out_hw, mask_threshold=0.0, stability_offset=1.0)
+
+    from medsam2_tpu.core import layers
+    up = layers.interpolate(
+        jnp.transpose(low, (0, 2, 3, 1)), out_hw, method="bilinear")
+    up = np.asarray(jnp.transpose(up, (0, 3, 1, 2))).reshape(B * M, *out_hw)
+    want_stab = np.asarray(amg.calculate_stability_score(up, 0.0, 1.0))
+    want_bin = up > 0.0
+    want_boxes = amg.batched_mask_to_box(want_bin)
+
+    np.testing.assert_array_equal(np.asarray(iou_f), np.asarray(ious).reshape(-1))
+    np.testing.assert_allclose(np.asarray(stab), want_stab, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(boxes), want_boxes.astype(np.float32))
+    got_bin = np.unpackbits(np.asarray(packed), axis=-1,
+                            count=out_hw[1]).astype(bool)
+    np.testing.assert_array_equal(got_bin, want_bin)
