@@ -109,6 +109,38 @@ def _patch_embed_s2d(p, x, cfg: HieraConfig):
     return y
 
 
+def _patch_embed_wfold(p, x):
+    """Width-folded patch embedding — the fastest lowering measured on v5e.
+
+    The 7x7/stride-4 conv is recast so NO data transpose is needed: padding
+    the input by 4 (top/left) and the kernel to 8x8 at offset (1,1) makes
+    every output tap start block-aligned; folding the width axis by 4 into
+    channels is then a *contiguous reshape* ([..., W, C] -> [..., W/4, 4C]),
+    and the kernel becomes [kh=8, kw=2, 4C, O] with stride (4, 1). Height
+    stays spatial, so the MXU sees a depth-8*2*12 contraction and the only
+    data movement is the pad memcpy (vs the 2x2 space-to-depth form whose
+    6D transpose dominated: 0.79 ms -> ~0.1 ms at 1024 px).
+
+    out(i,j) = sum_{a,b<7} x[4i-3+a, 4j-3+b] w[a,b]; with xp = pad(x,(4,0))
+    and w8[a',b'] = w[a'-1,b'-1]: out(i,j) = sum_{a',b'<8} xp[4i+a',4j+b']
+    w8[a',b']; b' = 4*beta + r folds into (kw=beta, channel=r*C+c).
+    """
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (4, 0), (4, 0), (0, 0)))
+    xw = xp.reshape(B, H + 4, (W + 4) // 4, 4 * C)
+
+    w = p["w"]  # [7, 7, C, O]
+    w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    wf = w8.reshape(8, 2, 4 * C, w.shape[-1])
+
+    y = jax.lax.conv_general_dilated(
+        xw, wf.astype(x.dtype), (4, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=layers.PRECISION)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 def _attention_block(bp, x, spec, q_stride):
     """MultiScaleAttention (``hieradet.py:37-83``): fused qkv, optional q max-pooling."""
     B, H, W, _ = x.shape
@@ -181,7 +213,11 @@ def hiera_apply(params, cfg: HieraConfig, x: jnp.ndarray,
     ``pos_embed``: optional precomputed :func:`_get_pos_embed` output — pass it
     when calling inside a ``lax.scan`` so the bicubic interpolation is hoisted
     out of the loop (it depends only on params and static shape)."""
-    if cfg.patch_kernel == (7, 7) and cfg.patch_stride == (4, 4) and cfg.patch_padding == (3, 3):
+    if (cfg.patch_kernel == (7, 7) and cfg.patch_stride == (4, 4)
+            and cfg.patch_padding == (3, 3) and x.shape[1] % 4 == 0
+            and x.shape[2] % 4 == 0):
+        x = _patch_embed_wfold(params["patch_embed"]["proj"], x)
+    elif cfg.patch_kernel == (7, 7) and cfg.patch_stride == (4, 4) and cfg.patch_padding == (3, 3):
         x = _patch_embed_s2d(params["patch_embed"]["proj"], x, cfg)
     else:
         x = layers.conv2d_apply(

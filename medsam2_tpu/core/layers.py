@@ -180,8 +180,20 @@ def mlp_apply(p, x, activation: Callable = jax.nn.relu, sigmoid_output: bool = F
 
 
 def gelu(x):
-    """Exact (erf) GELU, matching ``nn.GELU()`` default."""
-    return jax.nn.gelu(x, approximate=False)
+    """GELU matching ``nn.GELU()`` (exact erf) in fp32/fp64; in bf16/fp16 the
+    tanh approximation is used instead.
+
+    Measured on v5e the erf lowering runs ~20 ns/element on the VPU and was
+    the single largest encoder cost (~2 ms/frame at 1024 px, 6-8x the matmul
+    time it feeds); the tanh form runs 6x faster. Accuracy: vs fp32 exact
+    GELU at bf16 inputs, max|err| is 0.0093 for tanh-approx and 0.0098 for
+    bf16 exact-erf (bf16 quantization floor 0.0078) — the approximation is
+    *no less accurate* than computing erf in bf16, so the hot path loses
+    nothing (scripts/profile_gelu.py).
+    """
+    if x.dtype in (jnp.float32, jnp.float64):
+        return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=True)
 
 
 ACTIVATIONS = {"relu": jax.nn.relu, "gelu": gelu}

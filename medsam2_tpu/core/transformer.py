@@ -112,9 +112,20 @@ def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
     perm = jnp.asarray(_rope_half_perm(C_int, num_heads))
     qp = _split_heads(_linear_perm(p["q_proj"], q, perm), num_heads)
     kp = _split_heads(_linear_perm(p["k_proj"], k, perm), num_heads)
-    vp = _split_heads(layers.linear_apply(p["v_proj"], v), num_heads)
 
     head_dim = qp.shape[-1]
+    # Low-rank value path: values get no RoPE, so P @ (v W_v) == (P @ v) W_v
+    # exactly (masked-softmax rows sum to 1, so the bias also commutes). When
+    # the raw kv dim (64 memory channels) is below the head dim, feeding raw
+    # tokens as V halves the PV MXU work on the ~29k-token memory and skips
+    # writing the projected [Nk, 256] V tensor to HBM.
+    v_in = p["v_proj"]["w"].shape[0]
+    factor_v = v_in < head_dim
+    if factor_v:
+        vp = jnp.broadcast_to(v[:, None], (v.shape[0], num_heads, v.shape[1], v_in))
+    else:
+        vp = _split_heads(layers.linear_apply(p["v_proj"], v), num_heads)
+
     w, h = q_hw
     cos, sin = axial_rope_cos_sin(head_dim, w, h, rope_theta)
     qp = _apply_rope_half(qp, cos, sin)
@@ -128,6 +139,12 @@ def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
             if num_k_exclude_rope > 0 else k_rot
 
     out = attention(qp, kp, vp, kv_mask=kv_mask)
+    if factor_v:
+        wv = p["v_proj"]["w"].reshape(v_in, num_heads, head_dim)
+        out = jnp.einsum("bhqe,ehd->bhqd", out, wv.astype(out.dtype),
+                         precision=layers.PRECISION)
+        if "b" in p["v_proj"]:
+            out = out + p["v_proj"]["b"].reshape(num_heads, head_dim)[None, :, None, :].astype(out.dtype)
     return layers.linear_apply(p["out_proj"], _merge_heads(out))
 
 

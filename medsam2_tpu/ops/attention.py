@@ -26,7 +26,11 @@ _NEG_INF = -1e30
 
 
 def sdpa_xla(q, k, v, kv_mask=None, scale=None):
-    """Plain XLA attention (fp32 softmax), matching torch's math SDPA."""
+    """Plain XLA attention (fp32 softmax), matching torch's math SDPA.
+
+    ``v`` may have a different head dim than q/k (the low-rank value path
+    feeds raw 64-dim memory tokens; the value projection is applied to the
+    short output instead of the long kv)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
@@ -35,7 +39,7 @@ def sdpa_xla(q, k, v, kv_mask=None, scale=None):
     if kv_mask is not None:
         logits = jnp.where(kv_mask[:, None, None, :], logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+    out = jnp.einsum("bhqk,bhke->bhqe", probs.astype(v.dtype), v,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
     return out.astype(q.dtype)
@@ -94,9 +98,11 @@ def _pad_to(x, axis, multiple):
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
 def flash_attention(q, k, v, kv_mask=None, scale=None, block_q=512, block_k=512):
-    """Pallas TPU flash attention. q [B,H,Nq,D], k/v [B,H,Nk,D], kv_mask [B,Nk]."""
+    """Pallas TPU flash attention. q [B,H,Nq,D], k [B,H,Nk,D], v [B,H,Nk,Dv]
+    (Dv may differ from D — the low-rank value path), kv_mask [B,Nk]."""
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
+    Dv = v.shape[3]
     if scale is None:
         scale = 1.0 / math.sqrt(D)  # scale by the true head dim before padding
     if kv_mask is None:
@@ -104,19 +110,21 @@ def flash_attention(q, k, v, kv_mask=None, scale=None, block_q=512, block_k=512)
     else:
         kv_mask = kv_mask.astype(jnp.int32)
 
-    # Pad the head dim to a lane multiple (zeros leave QK^T logits and the
+    # Pad head dims to a lane multiple (zeros leave QK^T logits and the
     # valid output channels unchanged; padded channels are sliced off).
     Dp = max(((D + 127) // 128) * 128, 128)
+    Dvp = max(((Dv + 127) // 128) * 128, 128)
     if Dp != D:
         q = _pad_to(q, 3, Dp)
         k = _pad_to(k, 3, Dp)
-        v = _pad_to(v, 3, Dp)
+    if Dvp != Dv:
+        v = _pad_to(v, 3, Dvp)
 
     bq = min(block_q, max(Nq, 8))
     bk = min(block_k, max(Nk, 128))
     qf = _pad_to(q.reshape(B * H, Nq, Dp), 1, bq)
     kf = _pad_to(k.reshape(B * H, Nk, Dp), 1, bk)
-    vf = _pad_to(v.reshape(B * H, Nk, Dp), 1, bk)
+    vf = _pad_to(v.reshape(B * H, Nk, Dvp), 1, bk)
     maskf = _pad_to(jnp.repeat(kv_mask[:, None, :], H, axis=1).reshape(B * H, 1, Nk), 2, bk)
     Nq_p, Nk_p = qf.shape[1], kf.shape[1]
     num_q_blocks = Nq_p // bq
@@ -129,21 +137,21 @@ def flash_attention(q, k, v, kv_mask=None, scale=None, block_q=512, block_k=512)
         in_specs=[
             pl.BlockSpec((1, bq, Dp), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, Dp), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, Dvp), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, bk), lambda b, i, j: (b, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, bq, Dp), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Nq_p, Dp), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, Dvp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Nq_p, Dvp), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, Dp), jnp.float32),
+            pltpu.VMEM((bq, Dvp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(qf, kf, vf, maskf)
-    return out[:, :Nq, :D].reshape(B, H, Nq, D)
+    return out[:, :Nq, :Dv].reshape(B, H, Nq, Dv)
 
 
 def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:

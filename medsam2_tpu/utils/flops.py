@@ -146,12 +146,15 @@ def _memory_attention_flops(cfg, total_kv_tokens: int) -> float:
     Nk = total_kv_tokens
     d = ma.d_model
     f = 0.0
+    kv = ma.kv_in_dim
     per_layer = (
         4 * 2.0 * Nq * d * d                 # self-attn q,k,v,out projections
         + 2.0 * 2.0 * Nq * Nq * d            # self-attn QK^T + PV
         + 2 * 2.0 * Nq * d * d               # cross q + out projections
-        + 2 * 2.0 * Nk * ma.kv_in_dim * d    # cross k,v projections (64 -> 256)
-        + 2.0 * 2.0 * Nq * Nk * d            # cross QK^T + PV
+        + 2.0 * Nk * kv * d                  # cross k projection (64 -> 256)
+        + 2.0 * Nq * Nk * d                  # cross QK^T
+        + 2.0 * Nq * Nk * kv                 # cross PV on raw 64-dim values
+        + 2.0 * Nq * kv * d                  # value projection on the output
         + 2 * 2.0 * Nq * d * ma.dim_feedforward  # FFN
     )
     return f + ma.num_layers * per_layer

@@ -65,6 +65,11 @@ def main():
     t = timed(direct, jnp.float32(0))
     print(f"direct 7x7/4 conv   {t*1e3:7.3f} ms", flush=True)
 
+    from medsam2_tpu.core.hiera import _patch_embed_wfold
+    t = timed(lambda c: jnp.sum(
+        _patch_embed_wfold(p, dep(c))).astype(jnp.float32), jnp.float32(0))
+    print(f"wfold 8x2 conv      {t*1e3:7.3f} ms", flush=True)
+
     w8 = jnp.pad(p["w"], ((1, 0), (1, 0), (0, 0), (0, 0)))
     def conv8(c):
         y = jax.lax.conv_general_dilated(
