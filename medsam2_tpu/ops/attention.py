@@ -161,11 +161,16 @@ def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
     return q_len >= 2048 and kv_len >= 2048 and head_dim >= 64
 
 
-def _flash_blocks(q_len: int, kv_len: int):
-    """Measured on v5e (scripts/calibrate_overhead.py): long-kv cross attention
-    prefers tall q blocks (2048/512: 163 TF/s vs 145 at 512/512); square
-    self/global attention prefers wide kv blocks (512/1024)."""
+def _flash_blocks(q_len: int, kv_len: int, dv: int = 0, itemsize: int = 4):
+    """Measured on v5e (scripts/calibrate_overhead.py, profile_crossattn.py):
+    long-kv cross attention prefers tall q blocks; with low-rank values
+    (dv <= 128) the smaller V/acc footprint lets the kv block double to 1024,
+    which is the fastest config (0.585 ms vs 0.748 at the @1024 memory shape —
+    dv256 OOMs VMEM there); square self/global attention prefers wide kv
+    blocks (512/1024)."""
     if kv_len >= 2 * q_len:
+        if dv and dv <= 128 and itemsize <= 2:
+            return 2048, 1024   # only fits VMEM for 2-byte inputs
         return 2048, 512
     return 512, 1024
 
@@ -176,7 +181,8 @@ def attention(q, k, v, kv_mask=None, scale=None, force: Optional[str] = None):
     ``force``: "flash" | "xla" | None (auto).
     """
     if force == "flash" or (force is None and _use_flash(q.shape[2], k.shape[2], q.shape[3])):
-        bq, bk = _flash_blocks(q.shape[2], k.shape[2])
+        bq, bk = _flash_blocks(q.shape[2], k.shape[2], v.shape[3],
+                               jnp.dtype(q.dtype).itemsize)
         return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale,
                                block_q=bq, block_k=bk)
     return sdpa_xla(q, k, v, kv_mask=kv_mask, scale=scale)

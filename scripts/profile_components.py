@@ -87,7 +87,7 @@ def main():
     def mem_fn(c):
         out = sam2_model.prepare_memory_conditioned_features(
             params, cfg, spec, bank, jnp.int32(12) + c.astype(jnp.int32) * 0,
-            False, feats[-1] + c * 0, pos[-1], num_frames=64, is_eval=True)
+            False, feats[-1] + c.astype(feats[-1].dtype) * 0, pos[-1], num_frames=64, is_eval=True)
         return jnp.sum(out).astype(jnp.float32)
     results["memory_attention"] = timed_scan(mem_fn, jnp.float32(0))
 
@@ -95,7 +95,7 @@ def main():
     high_res = list(feats[:-1]) if len(feats) > 1 else None
     def heads_fn(c):
         out = sam2_model.forward_sam_heads(
-            params, cfg, feats[-1] + c * 0, high_res_features=high_res,
+            params, cfg, feats[-1] + c.astype(feats[-1].dtype) * 0, high_res_features=high_res,
             multimask_output=False, eval_dynamic_multimask=True)
         return jnp.sum(out.low_res_masks).astype(jnp.float32)
     results["sam_heads"] = timed_scan(heads_fn, jnp.float32(0))
@@ -104,7 +104,7 @@ def main():
     hi_mask = jnp.asarray(rng.standard_normal((1, 1, S, S)), jnp.float32)
     def menc_fn(c):
         f, _ = sam2_model.encode_new_memory(
-            params, cfg, feats[-1], hi_mask + c * 0, is_mask_from_pts=True,
+            params, cfg, feats[-1], hi_mask + c.astype(hi_mask.dtype) * 0, is_mask_from_pts=True,
             binarize=True)
         return jnp.sum(f).astype(jnp.float32)
     results["memory_encoder"] = timed_scan(menc_fn, jnp.float32(0))
@@ -114,7 +114,7 @@ def main():
         out, _ = sam2_model.track_step(
             params, cfg, spec, bank, jnp.int32(12) + c.astype(jnp.int32) * 0,
             is_init_cond_frame=False,
-            current_vision_feats=[f + c * 0 for f in feats],
+            current_vision_feats=[f + c.astype(f.dtype) * 0 for f in feats],
             current_vision_pos=pos,
             multimask_output=False, run_mem_encoder=True,
             num_frames=64, is_eval=True)
