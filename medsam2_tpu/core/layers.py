@@ -24,6 +24,7 @@ Numerical-parity notes vs the reference (PyTorch):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional, Sequence, Tuple
 
@@ -106,6 +107,65 @@ def conv2d_apply(p, x, stride: Tuple[int, int] = (1, 1), padding="SAME_TORCH",
         feature_group_count=groups,
         precision=PRECISION,
     )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+@functools.lru_cache(maxsize=32)
+def _wfold_map(F: int) -> "np.ndarray":
+    """Static 0/1 placement tensor M[a, b, a', beta, r, jr] assembling the
+    folded kernel wf[a', beta, (r, c), (jr, o)] = sum_ab w[a, b] M[...]."""
+    import numpy as np
+
+    P = F // 2
+    M = np.zeros((3, 3, 4, 2, F, P), np.float32)
+    for a in range(3):
+        for b in range(3):
+            for jr in range(P):
+                beta, r = divmod(2 * jr + 1 + b, F)
+                M[a, b, a + 1, beta, r, jr] = 1.0
+    return M
+
+
+def conv3s2_wfold(p, x, fold: int = 0):
+    """3x3/stride-2/pad-1 conv via a width-folded lowering (exact).
+
+    Tiny-channel strided convs (the memory encoder's mask downsampler starts
+    at C_in=1 @ full image resolution) lower terribly on TPU: the channel
+    (lane) dim is nearly empty. This recasts the conv with ZERO data
+    transposes: pad (2,0)/(2,F-2), fold the width by F into channels (a
+    contiguous reshape), and emit the F/2 output phases as output channels of
+    a [4, 2, F*C -> (F/2)*Cout] conv with stride (2, 1); the output phase
+    unfold is again a free reshape. The dense folded kernel does ~F/2x the
+    sparse tap MACs, which the MXU absorbs for free at tiny C while lane
+    utilization goes from C/128 to F*C/128.
+
+    Derivation: out(i, P*J + jr) = sum_{a,b<3} x[2i-1+a, 2(PJ+jr)-1+b] w[a,b]
+    with P = F/2; padding 2 left makes the column F*(J+beta) + r with
+    F*beta + r = 2*jr + 1 + b. Requires H even; F auto-picked (fold=0) as the
+    largest power of two <= 32 with F | W and F*C <= 256.
+    """
+    B, H, W, C = x.shape
+    w = p["w"]  # [3, 3, C, O]
+    O = w.shape[-1]
+    if fold == 0:
+        fold = 4
+        while fold < 32 and W % (fold * 2) == 0 and (fold * 2) * C <= 256:
+            fold *= 2
+    F, P = fold, fold // 2
+
+    xp = jnp.pad(x, ((0, 0), (2, 0), (2, F - 2), (0, 0)))   # [B, H+2, W+F, C]
+    xw = xp.reshape(B, H + 2, (W + F) // F, F * C)
+
+    M = jnp.asarray(_wfold_map(F))
+    wf = jnp.einsum("abco,abxyzj->xyzcjo", w, M.astype(w.dtype))
+    wf = wf.reshape(4, 2, F * C, P * O)
+
+    y = jax.lax.conv_general_dilated(
+        xw, wf.astype(x.dtype), (2, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=PRECISION)
+    y = y.reshape(B, H // 2, W // 2, O)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -205,8 +205,14 @@ def memory_encoder_apply(
     stride = cfg.mask_downsampler_stride
     pad = cfg.mask_downsampler_padding
     for lp in p["mask_downsampler"]:
-        x = layers.conv2d_apply(lp["conv"], x, stride=(stride, stride),
-                                explicit_padding=(pad, pad))
+        if (stride == 2 and pad == 1 and lp["conv"]["w"].shape[:2] == (3, 3)
+                and x.shape[1] % 2 == 0 and x.shape[2] % 4 == 0):
+            # tiny-channel strided convs at image resolution are layout-bound;
+            # the width-folded lowering is ~10x faster (layers.conv3s2_wfold)
+            x = layers.conv3s2_wfold(lp["conv"], x)
+        else:
+            x = layers.conv2d_apply(lp["conv"], x, stride=(stride, stride),
+                                    explicit_padding=(pad, pad))
         x = layers.layer_norm_2d_apply(lp["ln"], x)
         x = layers.gelu(x)
     x = layers.conv2d_apply(p["mask_out_proj"], x, explicit_padding=(0, 0))

@@ -201,3 +201,19 @@ def test_flash_attention_interpret_matches_xla(rng):
             pl.pallas_call = orig
     want = np.asarray(attn_mod.sdpa_xla(q, k, v, kv_mask=mask))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_conv3s2_wfold_matches_direct():
+    """Width-folded 3x3/s2/p1 lowering == the direct conv, including the
+    odd-extent fallback geometry guards used by the memory encoder."""
+    rng = np.random.default_rng(7)
+    for C, O, H, W in [(1, 4, 64, 64), (4, 16, 32, 64), (16, 8, 16, 32)]:
+        p = layers.conv2d_init(jax.random.PRNGKey(C), C, O, (3, 3))
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        a = layers.conv2d_apply(p, x, stride=(2, 2), explicit_padding=(1, 1))
+        for fold in (0, 4, 8, 16):
+            if fold and W % fold:
+                continue
+            b = layers.conv3s2_wfold(p, x, fold=fold)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
