@@ -347,8 +347,6 @@ def bench_train_3d():
     # fwd+bwd ~ 3x forward; every frame is encoded, tracked, and memory-encoded
     _add_analytic_mfu(result, cfg, spec, num_obj, best / 3.0,
                       tracked_frames=T, encoded_frames=T)
-    if "mfu" in result:
-        result["mfu"] = round(result["mfu"], 4)
     return result
 
 

@@ -159,7 +159,8 @@ def conv3s2_wfold(p, x, fold: int = 0):
     xw = xp.reshape(B, H + 2, (W + F) // F, F * C)
 
     M = jnp.asarray(_wfold_map(F))
-    wf = jnp.einsum("abco,abxyzj->xyzcjo", w, M.astype(w.dtype))
+    wf = jnp.einsum("abco,abxyzj->xyzcjo", w, M.astype(w.dtype),
+                    precision=PRECISION)
     wf = wf.reshape(4, 2, F * C, P * O)
 
     y = jax.lax.conv_general_dilated(

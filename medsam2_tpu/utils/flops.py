@@ -147,14 +147,22 @@ def _memory_attention_flops(cfg, total_kv_tokens: int) -> float:
     d = ma.d_model
     f = 0.0
     kv = ma.kv_in_dim
+    # the low-rank value path is taken only when kv_in < cross head dim
+    # (core/transformer.py rope_attn_apply factor_v condition)
+    factored = kv < d // ma.cross_attn_num_heads
+    if factored:
+        cross_v = (2.0 * Nq * Nk * kv        # cross PV on raw kv-dim values
+                   + 2.0 * Nq * kv * d)      # value projection on the output
+    else:
+        cross_v = (2.0 * Nq * Nk * d         # cross PV at full width
+                   + 2.0 * Nk * kv * d)      # v projection on the long kv
     per_layer = (
         4 * 2.0 * Nq * d * d                 # self-attn q,k,v,out projections
         + 2.0 * 2.0 * Nq * Nq * d            # self-attn QK^T + PV
         + 2 * 2.0 * Nq * d * d               # cross q + out projections
         + 2.0 * Nk * kv * d                  # cross k projection (64 -> 256)
         + 2.0 * Nq * Nk * d                  # cross QK^T
-        + 2.0 * Nq * Nk * kv                 # cross PV on raw 64-dim values
-        + 2.0 * Nq * kv * d                  # value projection on the output
+        + cross_v
         + 2 * 2.0 * Nq * d * ma.dim_feedforward  # FFN
     )
     return f + ma.num_layers * per_layer

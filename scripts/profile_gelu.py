@@ -7,31 +7,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from scripts._timing import timed, N1, N2  # noqa: E402
+
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-N1, N2 = 8, 40
-
-
-def timed(fn, carry0):
-    ts = {}
-    for n in (N1, N2):
-        @jax.jit
-        def run(c, n=n):
-            def body(c, _):
-                return fn(c), 0
-            c, _ = jax.lax.scan(body, c, None, length=n)
-            return c
-
-        jax.block_until_ready(run(carry0))
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(jnp.sum(run(carry0)).astype(jnp.float32))
-            best = min(best, time.perf_counter() - t0)
-        ts[n] = best
-    return (ts[N2] - ts[N1]) / (N2 - N1)
 
 
 def main():

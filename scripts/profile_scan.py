@@ -6,7 +6,8 @@ isolated encoder+track components. Times three scans at two trip counts:
      image slice / encoder)
   C. encoder-only over sliced frames
 
-A - (B + C - track_std) isolates the glue (dynamic slice, cond, mask store).
+glue = A - B - C isolates what the full body adds over its two halves
+(dynamic slice, lax.cond, mask store, lost cross-component fusion).
 """
 
 import os
