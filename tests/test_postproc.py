@@ -295,3 +295,47 @@ def test_amg_device_scoring_matches_host_helpers(rng):
     got_bin = np.unpackbits(np.asarray(packed), axis=-1,
                             count=out_hw[1]).astype(bool)
     np.testing.assert_array_equal(got_bin, want_bin)
+
+
+def test_flash_block_selection():
+    """Measured-on-v5e block choices: tall-q for long kv, doubled kv block only
+    for low-rank 2-byte values (the dv256/f32 variants OOM VMEM there)."""
+    from medsam2_tpu.ops.attention import _flash_blocks
+
+    assert _flash_blocks(4096, 28736, dv=64, itemsize=2) == (2048, 1024)
+    assert _flash_blocks(4096, 28736, dv=64, itemsize=4) == (2048, 512)
+    assert _flash_blocks(4096, 28736, dv=256, itemsize=2) == (2048, 512)
+    assert _flash_blocks(4096, 4096) == (512, 1024)   # square self/global attn
+
+
+def test_flash_attention_gradients_match_xla(rng):
+    """custom_vjp (kv-chunked recompute from LSE) == autodiff through the
+    math SDPA, including kv masking and the low-rank Dv != D path."""
+    import functools
+    from jax.experimental import pallas as pl
+    from medsam2_tpu.ops import attention as am
+
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        for (B, H, Nq, Nk, D, Dv) in [(1, 1, 64, 160, 96, 96),
+                                      (1, 2, 32, 96, 32, 16)]:
+            q = jnp.asarray(rng.standard_normal((B, H, Nq, D)).astype(np.float32))
+            k = jnp.asarray(rng.standard_normal((B, H, Nk, D)).astype(np.float32))
+            v = jnp.asarray(rng.standard_normal((B, H, Nk, Dv)).astype(np.float32))
+            mask = jnp.asarray(rng.random((B, Nk)) > 0.3)
+            with jax.disable_jit():
+                def loss_flash(q, k, v):
+                    return jnp.sum(jnp.sin(am.flash_attention(
+                        q, k, v, kv_mask=mask, block_q=32, block_k=64)))
+
+                def loss_xla(q, k, v):
+                    return jnp.sum(jnp.sin(am.sdpa_xla(q, k, v, kv_mask=mask)))
+
+                g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+                g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+            for a, b in zip(g1, g2):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=2e-5)
+    finally:
+        pl.pallas_call = orig
