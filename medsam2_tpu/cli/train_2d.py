@@ -94,7 +94,8 @@ def train_refuge(args, cfg, logger, paths):
             any_written = True
             ml.update(**{k: float(v) for k, v in metrics.items()})
         logger.info(f"epoch {epoch} in {time.time() - t0:.1f}s: {ml}")
-        if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+        if ((args.val_freq > 0 and epoch % args.val_freq == 0)
+                or epoch == args.epochs - 1):
             iou, dice = validate_refuge(args, cfg, rcfg, params, val_ds, bank)
             logger.info(f"epoch {epoch} val iou={iou:.4f} dice={dice:.4f}")
             if dice > best_dice:
@@ -169,7 +170,8 @@ def train_nuclei(args, cfg, logger, paths):
             any_written = True
             ml.update(**{k: float(v) for k, v in metrics.items()})
         logger.info(f"epoch {epoch} in {time.time() - t0:.1f}s: {ml}")
-        if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+        if ((args.val_freq > 0 and epoch % args.val_freq == 0)
+                or epoch == args.epochs - 1):
             scores = validate_nuclei(args, cfg, rcfg, params, val_ds, bank, key)
             logger.info(f"epoch {epoch} val: {scores}")
             if scores["dice1"] > best:

@@ -48,6 +48,15 @@ class SyntheticVolumes:
 def build_dataset(args, mode: str):
     if args.dataset == "synthetic" or args.data_path is None:
         return SyntheticVolumes(args)
+    if args.dataset in ("btcv_nifti", "amos_nifti"):
+        # raw NIfTI distributions (imagesTr/labelsTr .nii.gz), decoded by the
+        # dependency-free reader in data/nifti.py
+        from medsam2_tpu.data.nifti import NiftiVolumes
+
+        return NiftiVolumes(
+            args.data_path, mode=mode, image_size=args.image_size,
+            video_length=args.video_length if mode == "Training" else None,
+            prompt=args.prompt, seed=args.seed)
     cls = {"btcv": BTCV, "amos": AMOS}[args.dataset]
     return cls(args.data_path, mode=mode, image_size=args.image_size,
                video_length=args.video_length if mode == "Training" else None,
@@ -213,7 +222,9 @@ def main(argv=None):
                     logger.info(f"epoch {epoch} step {i}: {ml}")
             logger.info(f"epoch {epoch} trained in {time.time() - t0:.1f}s: {ml}")
 
-            if epoch % args.val_freq == 0 or epoch == args.epochs - 1:
+            # val_freq <= 0 validates only on the final epoch
+            if ((args.val_freq > 0 and epoch % args.val_freq == 0)
+                    or epoch == args.epochs - 1):
                 metrics = validation_sam(args, cfg, params, val_loader, logger,
                                          sample_dir=paths["sample_path"])
                 logger.info(f"epoch {epoch} val: {metrics}")
