@@ -137,19 +137,70 @@ class SAM2AutomaticMaskGenerator:
         points_scale = np.array(cropped_im_size)[None, ::-1]
         points_for_image = self.point_grids[crop_layer_idx] * points_scale
 
-        data = amg.MaskData()
+        # Phase 1: dispatch every point batch (async — nothing is pulled, so
+        # the 16 decode+score dispatches pipeline on device back to back).
+        dev_batches, host_points = [], []
         for (points,) in amg.batch_iterator(self.points_per_batch, points_for_image):
-            batch_data = self._process_batch(
-                points, cropped_im_size, crop_box, orig_size)
-            data.cat(batch_data)
+            dev_batches.append(self._decode_score_batch(points, cropped_im_size))
+            host_points.append(points)
         self.predictor.reset_predictor()
 
-        if len(data["boxes"]) > 0:
+        # Phase 2: ONE blocking pull per score array for the whole crop (a
+        # per-batch pull pays the full device-link round trip ~48 times).
+        iou_flat = np.asarray(jnp.concatenate([b[0] for b in dev_batches]), np.float32) \
+            if dev_batches else np.zeros(0, np.float32)
+        stability = np.asarray(jnp.concatenate([b[1] for b in dev_batches]), np.float32) \
+            if dev_batches else np.zeros(0, np.float32)
+        boxes = np.asarray(jnp.concatenate([b[2] for b in dev_batches]), np.float32).reshape(-1, 4) \
+            if dev_batches else np.zeros((0, 4), np.float32)
+        points_rep = np.concatenate(
+            [np.repeat(p, b[4], axis=0) for p, b in zip(host_points, dev_batches)]) \
+            if dev_batches else np.zeros((0, 2), np.float32)
+
+        # Phase 3: host-side filters on the scalar arrays only.
+        orig_h, orig_w = orig_size
+        keep_mask = np.ones(len(iou_flat), bool)
+        if self.pred_iou_thresh > 0.0:
+            keep_mask &= iou_flat > self.pred_iou_thresh
+        if self.stability_score_thresh > 0.0:
+            keep_mask &= stability >= self.stability_score_thresh
+        keep_mask &= ~amg.is_box_near_crop_edge(
+            boxes, crop_box, [0, 0, orig_w, orig_h])
+        kept_idx = np.flatnonzero(keep_mask)
+
+        data = amg.MaskData(
+            iou_preds=iou_flat[kept_idx],
+            points=points_rep[kept_idx],
+            stability_score=stability[kept_idx],
+            boxes=boxes[kept_idx],
+        )
+
+        n = len(data["boxes"])
+        if n > 0:
             keep = batched_nms_np(
                 np.asarray(data["boxes"], np.float32),
                 np.asarray(data["iou_preds"], np.float32),
-                np.zeros(len(data["boxes"])), self.box_nms_thresh)
+                np.zeros(n), self.box_nms_thresh)
             data.filter(keep)
+            # final survivor rows in the concatenated candidate order
+            keep = kept_idx[np.asarray(keep)]
+        else:
+            keep = np.zeros(0, np.int64)
+
+        # Phase 4: ONE device->host mask transfer for the whole crop, of the
+        # NMS survivors only. Per-batch transfers of every candidate moved
+        # ~400 MB over the device link at the default config and were 98% of
+        # generate() wall time; the filters only ever needed scores and boxes.
+        H, W = cropped_im_size
+        if len(keep) > 0:
+            dev_packed = [b[3] for b in dev_batches]
+            dev = dev_packed[0] if len(dev_packed) == 1 else jnp.concatenate(dev_packed, 0)
+            packed = np.asarray(jnp.take(dev, jnp.asarray(keep, jnp.int32), axis=0))
+            masks = np.unpackbits(packed, axis=-1, count=W).astype(bool)
+            masks = amg.uncrop_masks(masks, crop_box, orig_h, orig_w)
+            data["rles"] = amg.mask_to_rle(masks)
+        else:
+            data["rles"] = []
 
         data["boxes"] = np.asarray(
             amg.uncrop_boxes_xyxy(data["boxes"], crop_box), np.float32).reshape(-1, 4)
@@ -159,8 +210,17 @@ class SAM2AutomaticMaskGenerator:
             [crop_box] * len(data["rles"]), np.float32).reshape(-1, 4)
         return data
 
-    def _process_batch(self, points, im_size, crop_box, orig_size) -> amg.MaskData:
-        orig_h, orig_w = orig_size
+    def _decode_score_batch(self, points, im_size):
+        """Decode + score one point batch fully ON DEVICE; returns device
+        arrays (iou [nrm], stability [nrm], boxes [nrm, 4], packed masks
+        [nrm, H, W/8], M) with NO host synchronization, so consecutive
+        batches pipeline on the accelerator.
+
+        Scoring runs on device (upsample to crop size, stability, boxes,
+        thresholded masks bit-packed): pulling the fp32 mask stack to the
+        host per batch moves ~0.8 GB over the device link at the default
+        config; the packed binary masks + scalars are ~30x smaller and only
+        the filter survivors are ever transferred."""
         tr = self.predictor._transforms
         in_points = tr.transform_coords(points, normalize=True, orig_hw=im_size)
 
@@ -182,44 +242,13 @@ class SAM2AutomaticMaskGenerator:
             low_res, iou_preds = self._refine_m2m(
                 self.predictor.params, self.predictor._features, coords, labels,
                 low_res[bidx, best][:, None], cfg=self.cfg)
-        # Scoring runs ON DEVICE (upsample to crop size, stability, boxes,
-        # thresholded masks bit-packed): pulling the fp32 mask stack to the
-        # host per batch moves ~0.8 GB over the device link at the default
-        # config; the packed binary masks + scalars are ~30x smaller and only
-        # the filter survivors are ever unpacked.
         iou_flat, stability, boxes, packed = self._score(
             low_res, iou_preds, out_hw=tuple(im_size),
             mask_threshold=self.mask_threshold,
             stability_offset=self.stability_score_offset)
         M = low_res.shape[1]
         nrm = n_real * M
-        iou_flat = np.asarray(iou_flat, np.float32)[:nrm]
-        stability = np.asarray(stability, np.float32)[:nrm]
-        boxes = np.asarray(boxes, np.float32)[:nrm]
-        packed = np.asarray(packed)[:nrm]
-
-        keep = np.ones(nrm, bool)
-        if self.pred_iou_thresh > 0.0:
-            keep &= iou_flat > self.pred_iou_thresh
-        if self.stability_score_thresh > 0.0:
-            keep &= stability >= self.stability_score_thresh
-        keep &= ~amg.is_box_near_crop_edge(
-            boxes, crop_box, [0, 0, orig_w, orig_h])
-
-        kept_idx = np.flatnonzero(keep)
-        H, W = im_size
-        masks = np.unpackbits(
-            packed[kept_idx], axis=-1, count=W).astype(bool)   # [K, H, W]
-
-        data = amg.MaskData(
-            iou_preds=iou_flat[kept_idx],
-            points=np.repeat(points, M, axis=0)[kept_idx],
-            stability_score=stability[kept_idx],
-            boxes=boxes[kept_idx],
-        )
-        masks = amg.uncrop_masks(masks, crop_box, orig_h, orig_w)
-        data["rles"] = amg.mask_to_rle(masks)
-        return data
+        return (iou_flat[:nrm], stability[:nrm], boxes[:nrm], packed[:nrm], M)
 
     @staticmethod
     def postprocess_small_regions(mask_data: amg.MaskData, min_area: int,
