@@ -373,9 +373,9 @@ def bench_train_2d():
                    static_argnames=("bank_nonempty",))
     opt_state = tx.init(params)
 
-    spec_P = (cfg.image_size // 16) ** 2
+    spec_P = cfg.sam_image_embedding_size ** 2
     bank = sb.init_similarity_bank(rcfg.memory_bank_size, spec_P, cfg.mem_dim,
-                                   spec_P * 256)
+                                   spec_P * cfg.hidden_dim)
     rng = np.random.default_rng(0)
     S = image_size
     gt = np.zeros((B, S, S), np.float32)

@@ -48,16 +48,12 @@ class SyntheticVolumes:
 def build_dataset(args, mode: str):
     if args.dataset == "synthetic" or args.data_path is None:
         return SyntheticVolumes(args)
-    if args.dataset in ("btcv_nifti", "amos_nifti"):
-        # raw NIfTI distributions (imagesTr/labelsTr .nii.gz), decoded by the
-        # dependency-free reader in data/nifti.py
-        from medsam2_tpu.data.nifti import NiftiVolumes
+    # btcv_nifti/amos_nifti: raw NIfTI distributions (imagesTr/labelsTr
+    # .nii.gz), decoded by the dependency-free reader in data/nifti.py
+    from medsam2_tpu.data.nifti import NiftiVolumes
 
-        return NiftiVolumes(
-            args.data_path, mode=mode, image_size=args.image_size,
-            video_length=args.video_length if mode == "Training" else None,
-            prompt=args.prompt, seed=args.seed)
-    cls = {"btcv": BTCV, "amos": AMOS}[args.dataset]
+    cls = {"btcv": BTCV, "amos": AMOS,
+           "btcv_nifti": NiftiVolumes, "amos_nifti": NiftiVolumes}[args.dataset]
     return cls(args.data_path, mode=mode, image_size=args.image_size,
                video_length=args.video_length if mode == "Training" else None,
                prompt=args.prompt, seed=args.seed)

@@ -78,9 +78,10 @@ def load_nifti(path: str, apply_scaling: bool = True) -> Tuple[np.ndarray, Dict]
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=np_dtype, count=count, offset=offset)
     vol = data.reshape(shape, order="F")
-    if apply_scaling and (scl_slope not in (0.0, 1.0) or scl_inter != 0.0):
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        vol = vol.astype(np.float32) * slope + scl_inter
+    # NIfTI-1 rule: scl_slope == 0 means NO scaling at all (inter included)
+    if (apply_scaling and scl_slope != 0.0
+            and (scl_slope != 1.0 or scl_inter != 0.0)):
+        vol = vol.astype(np.float32) * scl_slope + scl_inter
     header = {
         "shape": shape, "datatype": datatype, "pixdim": pixdim[1:1 + ndim],
         "scl_slope": scl_slope, "scl_inter": scl_inter, "byteorder": bo,
@@ -128,8 +129,9 @@ class NiftiVolumes(BTCV):
     def __init__(self, data_path: str, mode: str = "Training",
                  image_size: int = 1024, video_length: Optional[int] = None,
                  prompt: str = "click", variation: float = 0.0,
-                 seed: Optional[int] = None, images_dir: str = "imagesTr",
-                 labels_dir: str = "labelsTr",
+                 seed: Optional[int] = None,
+                 images_dir: Optional[str] = None,
+                 labels_dir: Optional[str] = None,
                  window_center: float = 40.0, window_width: float = 400.0):
         self.data_path = data_path
         self.mode = mode
@@ -138,8 +140,22 @@ class NiftiVolumes(BTCV):
         self.variation = variation
         self.rng = np.random.default_rng(seed)
         self.video_length = video_length if mode == "Training" else None
+        if images_dir is None:
+            # decathlon-style split: imagesTr/labelsTr for training,
+            # imagesTs/labelsTs for test WHEN present. Falling back to the
+            # training directories for eval would silently report metrics on
+            # the training volumes, so a missing test split is an error.
+            if mode == "Training":
+                images_dir, labels_dir = "imagesTr", "labelsTr"
+            elif os.path.isdir(os.path.join(data_path, "imagesTs")):
+                images_dir, labels_dir = "imagesTs", "labelsTs"
+            else:
+                raise FileNotFoundError(
+                    f"{data_path}: no imagesTs/ split for mode={mode!r}; pass "
+                    "images_dir/labels_dir explicitly to evaluate on another "
+                    "directory")
         self.images_dir = os.path.join(data_path, images_dir)
-        self.labels_dir = os.path.join(data_path, labels_dir)
+        self.labels_dir = os.path.join(data_path, labels_dir or "labelsTr")
         self.window_center = window_center
         self.window_width = window_width
         self.name_list = sorted(

@@ -162,7 +162,8 @@ def _flash_fwd(qf, kf, vf, maskf, scale, bq, bk):
     # The LSE output block pushes the (2048, 1024) low-rank config past the
     # 16 MB VMEM budget; the training forward caps the q block at 1024
     # (measured 0.614 vs 0.585 ms at the @1024 memory shape - negligible).
-    bq_t = min(bq, 1024)
+    # Only when the padded Nq stays block-divisible - otherwise keep bq.
+    bq_t = 1024 if (bq > 1024 and qf.shape[1] % 1024 == 0) else bq
     out, lse = _flash_call(qf, kf, vf, maskf, scale, bq_t, bk, with_lse=True)
     return out, (qf, kf, vf, maskf, out, lse)
 

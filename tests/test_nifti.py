@@ -64,9 +64,9 @@ def test_nifti_volume_dataset(tmp_path, rng):
     assert len(ds) == 1
     s = ds[0]
     assert s["image"].shape == (4, 3, 64, 64)
-    # empty slices trimmed: all sampled frames come from the 3..7 band
-    assert all(any(o in s["label"][t] for o in (1, 2)) or True
-               for t in s["label"])
+    # empty slices trimmed to the 3..7 labeled band
+    imgs2, seg2 = ds._load_volume(ds.name_list[0])
+    assert seg2.shape[-1] == 5 and imgs2.shape[0] == 5
     # object masks + prompts present for frames containing object 1
     found = [t for t in s["label"] if 1 in s["label"][t]]
     assert found
@@ -81,6 +81,11 @@ def test_nifti_volume_dataset(tmp_path, rng):
     t1 = [t for t in s2["label"] if 1 in s2["label"][t]][0]
     assert s2["bbox"][t1][1].shape == (4,)
 
+    # Test mode without an imagesTs split must refuse (silent fallback to the
+    # training volumes would leak train data into validation metrics)
+    with pytest.raises(FileNotFoundError):
+        nifti.NiftiVolumes(str(tmp_path), mode="Test", image_size=64)
+
 
 @pytest.mark.slow
 def test_train_3d_cli_nifti(tmp_path, rng):
@@ -88,14 +93,15 @@ def test_train_3d_cli_nifti(tmp_path, rng):
     import glob
 
     root = tmp_path / "data"
-    os.makedirs(root / "imagesTr")
-    os.makedirs(root / "labelsTr")
+    for split in ("imagesTr", "labelsTr", "imagesTs", "labelsTs"):
+        os.makedirs(root / split)
     for case in ("a", "b"):
         vol = (rng.random((24, 24, 8)) * 400 - 160).astype(np.float32)
         seg = np.zeros((24, 24, 8), np.uint8)
         seg[6:18, 6:18, 1:7] = 1
-        nifti.save_nifti(str(root / "imagesTr" / f"{case}.nii.gz"), vol)
-        nifti.save_nifti(str(root / "labelsTr" / f"{case}.nii.gz"), seg)
+        for imgs, lbls in (("imagesTr", "labelsTr"), ("imagesTs", "labelsTs")):
+            nifti.save_nifti(str(root / imgs / f"{case}.nii.gz"), vol)
+            nifti.save_nifti(str(root / lbls / f"{case}.nii.gz"), seg)
 
     args = [
         "-dataset", "btcv_nifti", "-data_path", str(root),
