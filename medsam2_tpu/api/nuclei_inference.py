@@ -90,59 +90,109 @@ def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
     return np.concatenate(all_masks), np.concatenate(all_ious)
 
 
+def drop_points_in_processed_boxes(points: np.ndarray, processed_boxes) -> np.ndarray:
+    """Boolean keep-mask dropping points strictly inside any previously
+    processed crop box (interior test [x1+1, x2-1], ``function.py:365-372``):
+    a point detected again in a later overlapping crop is discarded — the
+    earlier crop owns it."""
+    keep = np.ones(len(points), bool)
+    for (px1, py1, px2, py2) in processed_boxes:
+        keep &= ~((points[:, 0] >= px1 + 1) & (points[:, 0] <= px2 - 1)
+                  & (points[:, 1] >= py1 + 1) & (points[:, 1] <= py2 - 1))
+    return keep
+
+
+def merge_instances(masks: List[np.ndarray], scores: np.ndarray,
+                    boxes: np.ndarray, point_ids: np.ndarray,
+                    hw: Tuple[int, int], mask_nms_thresh: float) -> np.ndarray:
+    """The reference's two-stage cross-crop merge (``function.py:575-627``):
+
+    1. per-point keep-best: a point decoded in several overlapping crops keeps
+       only its highest-scoring instance (``keep_prior``),
+    2. class-agnostic box NMS over the survivors,
+    3. paint the instance map in *reversed* NMS order, skipping any mask that
+       touches an already-painted pixel (``b_inst_map[mask].all() == 0``).
+    """
+    scores = np.asarray(scores, np.float32)
+    point_ids = np.asarray(point_ids)
+    keep_prior = np.ones(len(point_ids), bool)
+    uniq, counts = np.unique(point_ids, return_counts=True)
+    for pid in uniq[counts > 1]:
+        inds = np.where(point_ids == pid)[0]
+        inds = np.delete(inds, np.argmax(scores[inds]))
+        keep_prior[inds] = False
+
+    kept = np.where(keep_prior)[0]
+    if len(kept) == 0:
+        return np.zeros(hw, np.int32)
+    keep_by_nms = batched_nms_np(boxes[kept].astype(np.float32), scores[kept],
+                                 np.zeros(len(kept)), mask_nms_thresh)
+    order = kept[keep_by_nms][::-1]
+    inst_map = np.zeros(hw, np.int32)
+    next_id = 1
+    for ind in order:
+        m = masks[ind]
+        if (inst_map[m] == 0).all():
+            inst_map[m] = next_id
+            next_id += 1
+    return inst_map
+
+
 def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
                       crop_size: Optional[int] = None, overlap: int = 64,
                       point_nms_dist: float = 12.0, mask_nms_thresh: float = 0.6,
                       min_area: int = 4) -> np.ndarray:
     """Full-image nuclei instance prediction -> int32 instance map.
 
-    Mirrors the reference two-stage merge: per-crop prompter points -> global
-    point NMS -> per-point SAM masks scored by iou*stability -> cross-crop box
-    NMS -> paint instances by descending score (``func_2d/function.py:584-624``).
+    Follows the reference's sliding-window flow (``func_2d/function.py:330-627``):
+    per-crop prompter points -> drop points inside already-processed crops ->
+    progressive point NMS over the accumulated set -> decode every surviving
+    point in *each* crop containing it -> per-point keep-best instance ->
+    cross-crop box NMS -> reverse-order paint (:func:`merge_instances`).
     """
     img = np.asarray(sample["image"], np.float32)
     H, W = img.shape[:2]
     crop_size = crop_size or cfg.image_size
 
-    all_points: List[np.ndarray] = []
-    all_scores: List[np.ndarray] = []
-    crop_of_point: List[int] = []
     crops = crop_with_overlap(H, W, crop_size, overlap)
-    crop_images = []
-    for ci, (x0, y0) in enumerate(crops):
-        crop = img[y0:y0 + crop_size, x0:x0 + crop_size]
-        crop_images.append((x0, y0, crop))
-        pts, scores = predict_points(params, rcfg, jnp.asarray(crop[None]))
-        if len(pts) == 0:
-            continue
-        gpts = pts + np.array([x0, y0], np.float32)
-        all_points.append(gpts)
-        all_scores.append(scores)
-        crop_of_point.extend([ci] * len(gpts))
+    processed_boxes: List[Tuple[int, int, int, int]] = []
+    acc_points = np.zeros((0, 2), np.float32)
+    acc_scores = np.zeros((0,), np.float32)
+    point_id_map: Dict[Tuple[float, float], int] = {}
 
-    if not all_points:
-        return np.zeros((H, W), np.int32)
-    points = np.concatenate(all_points)
-    scores = np.concatenate(all_scores)
-    crop_idx = np.asarray(crop_of_point)
-    keep = point_nms_np(points, scores, point_nms_dist)
-    points, scores, crop_idx = points[keep], scores[keep], crop_idx[keep]
-
-    # per-crop SAM decode of the surviving points
     masks_g: List[np.ndarray] = []
     mask_scores: List[float] = []
     boxes: List[np.ndarray] = []
-    for ci, (x0, y0, crop) in enumerate(crop_images):
-        sel = crop_idx == ci
-        if not sel.any():
+    mask_pids: List[int] = []
+    for (x0, y0) in crops:
+        x1, y1, x2, y2 = x0, y0, x0 + crop_size, y0 + crop_size
+        crop = img[y0:y0 + crop_size, x0:x0 + crop_size]
+        pts, scores = predict_points(params, rcfg, jnp.asarray(crop[None]))
+        if len(pts):
+            gpts = pts + np.array([x0, y0], np.float32)
+            keep = drop_points_in_processed_boxes(gpts, processed_boxes)
+            acc_points = np.concatenate([acc_points, gpts[keep]])
+            acc_scores = np.concatenate([acc_scores, scores[keep]])
+        processed_boxes.append((x1, y1, x2, y2))
+        if len(acc_points) == 0:
             continue
-        local = points[sel] - np.array([x0, y0], np.float32)
+        # progressive NMS over everything accumulated so far (function.py:386)
+        keep = point_nms_np(acc_points, acc_scores, point_nms_dist)
+        cur_points = acc_points[keep]
+        cur_ids = np.array([point_id_map.setdefault(tuple(p), len(point_id_map))
+                            for p in cur_points])
+        in_crop = ((cur_points[:, 0] >= x1) & (cur_points[:, 0] < x2)
+                   & (cur_points[:, 1] >= y1) & (cur_points[:, 1] < y2))
+        if in_crop.sum() <= 1:  # the reference skips 0/1-point crops (:412)
+            continue
+        local = cur_points[in_crop] - np.array([x0, y0], np.float32)
         key, sub = jax.random.split(key)
         logits, ious = decode_cells(params, cfg, local, bank, sub,
                                     jnp.asarray(crop[None]),
                                     bank_nonempty=bool(np.asarray(bank["valid"]).any()))
         stab = np.asarray(calculate_stability_score(logits, 0.0, 1.0))
         binm = logits > 0
+        pids = cur_ids[in_crop]
         for k in range(len(local)):
             m = binm[k]
             if m.sum() < min_area:
@@ -152,20 +202,10 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
             masks_g.append(gm)
             mask_scores.append(float(ious[k] * stab[k]))
             boxes.append(batched_mask_to_box(gm[None])[0])
+            mask_pids.append(int(pids[k]))
 
     if not masks_g:
         return np.zeros((H, W), np.int32)
-    boxes_np = np.stack(boxes)
-    scores_np = np.asarray(mask_scores, np.float32)
-    keep = batched_nms_np(boxes_np, scores_np, np.zeros(len(boxes_np)),
-                          mask_nms_thresh)
-
-    inst_map = np.zeros((H, W), np.int32)
-    next_id = 1
-    for i in keep[np.argsort(-scores_np[keep], kind="stable")]:
-        m = masks_g[i] & (inst_map == 0)
-        if m.sum() < min_area:
-            continue
-        inst_map[m] = next_id
-        next_id += 1
-    return inst_map
+    return merge_instances(masks_g, np.asarray(mask_scores, np.float32),
+                           np.stack(boxes), np.asarray(mask_pids), (H, W),
+                           mask_nms_thresh)

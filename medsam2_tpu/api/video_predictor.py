@@ -39,12 +39,16 @@ from medsam2_tpu.utils.transforms import IMAGENET_MEAN, IMAGENET_STD, SAM2Transf
 
 class SAM2VideoPredictor:
     def __init__(self, params, cfg: SAM2Config, max_cond_frames: int = 8,
-                 fill_hole_area: int = 0, non_overlap_masks: bool = False):
+                 fill_hole_area: int = 0, non_overlap_masks: bool = False,
+                 use_kcache: bool = True):
         self.params = params
         self.cfg = cfg
         self.max_cond_frames = max_cond_frames
         self.fill_hole_area = fill_hole_area
         self.non_overlap_masks = non_overlap_masks
+        # roped-key cache: project + RoPE memory keys once at bank-write time
+        # instead of per tracked frame (see state/memory_bank.init_bank)
+        self.use_kcache = use_kcache and sam2_model.kcache_shape(cfg)[0] > 0
         # Static worst-case spec (kept for callers that size banks up front);
         # propagation uses a session spec sized to the actual prompt count so
         # memory attention never pays kv for unused cond slots (the reference
@@ -55,11 +59,13 @@ class SAM2VideoPredictor:
         self._encode = jax.jit(functools.partial(_encode_frame, cfg=cfg))
         self._prompt_step = jax.jit(
             functools.partial(_prompt_step, cfg=cfg),
-            static_argnames=("spec", "multimask_output", "is_eval", "num_frames"),
+            static_argnames=("spec", "multimask_output", "is_eval", "num_frames",
+                             "write_cond"),
         )
         self._scan_track = jax.jit(
             functools.partial(_scan_track, cfg=cfg),
-            static_argnames=("spec", "is_eval", "num_frames", "track_in_reverse"),
+            static_argnames=("spec", "is_eval", "num_frames", "track_in_reverse",
+                             "return_bank"),
         )
 
     def _session_spec(self, state) -> mb.BankSpec:
@@ -67,6 +73,13 @@ class SAM2VideoPredictor:
         constructor's ``max_cond_frames``); jit caches per distinct size."""
         n = max(1, min(len(state["cond_frame_idx"]), self.max_cond_frames))
         return mb.BankSpec.from_config(self.cfg, max_cond_frames=n)
+
+    def _make_bank(self, spec: mb.BankSpec, B: int):
+        if self.use_kcache:
+            return mb.init_bank(spec, B,
+                                kcache_shape=sam2_model.kcache_shape(self.cfg),
+                                kcache_dtype=sam2_model.kcache_dtype(self.cfg))
+        return mb.init_bank(spec, B)
 
     @classmethod
     def for_eval(cls, params, cfg: SAM2Config, **kwargs):
@@ -145,6 +158,10 @@ class SAM2VideoPredictor:
             "point_inputs_per_obj": {},         # {obj_idx: {frame: (coords, labels)}}
             "mask_inputs_per_obj": {},          # {obj_idx: {frame: mask [S, S]}}
             "cond_frame_idx": set(),
+            # correction prompts on already-tracked frames when
+            # add_all_frames_to_correct_as_cond=False: processed in preflight
+            # but written to the non-cond ring (sam2_video_predictor.py:292-341)
+            "noncond_prompt_frame_idx": set(),
             "tracked": False,
             "is_eval": True,
         }
@@ -181,6 +198,7 @@ class SAM2VideoPredictor:
         state["point_inputs_per_obj"] = {}
         state["mask_inputs_per_obj"] = {}
         state["cond_frame_idx"] = set()
+        state["noncond_prompt_frame_idx"] = set()
         state["tracked"] = False
 
     # ------------------------------------------------------------------
@@ -219,8 +237,22 @@ class SAM2VideoPredictor:
             labels = np.concatenate([old_l, labels], 0)
         store[frame_idx] = (points, labels)
         state["mask_inputs_per_obj"][obj_idx].pop(frame_idx, None)
-        state["cond_frame_idx"].add(frame_idx)
+        self._record_prompt_frame(state, frame_idx)
         return self._preview(state, frame_idx)
+
+    def _record_prompt_frame(self, state, frame_idx: int) -> None:
+        """Classify a prompted frame as conditioning or not. The reference
+        marks correction prompts on already-tracked frames as conditioning
+        only when ``add_all_frames_to_correct_as_cond`` is set
+        (``sam2_video_predictor.py:292-341``); otherwise the corrected frame's
+        memory goes to the non-cond ring."""
+        if (state["tracked"]
+                and not self.cfg.add_all_frames_to_correct_as_cond
+                and frame_idx not in state["cond_frame_idx"]):
+            state["noncond_prompt_frame_idx"].add(frame_idx)
+        else:
+            state["noncond_prompt_frame_idx"].discard(frame_idx)
+            state["cond_frame_idx"].add(frame_idx)
 
     # the reference exposes train_* duplicates without inference_mode; in JAX
     # the same pure functions serve both, so these are aliases
@@ -247,7 +279,7 @@ class SAM2VideoPredictor:
             m = (m > 0.5).astype(np.float32)
         state["mask_inputs_per_obj"][obj_idx][frame_idx] = m
         state["point_inputs_per_obj"][obj_idx].pop(frame_idx, None)
-        state["cond_frame_idx"].add(frame_idx)
+        self._record_prompt_frame(state, frame_idx)
         return self._preview(state, frame_idx)
 
     train_add_new_mask = add_new_mask
@@ -296,7 +328,9 @@ class SAM2VideoPredictor:
         num_frames = state["num_frames"]
         B = len(state["obj_ids"])
         spec = self._session_spec(state)
-        bank = mb.init_bank(spec, B)
+        bank = self._make_bank(spec, B)
+        pos_kcache = (sam2_model.make_pos_kcache(self.params, self.cfg, spec)
+                      if self.use_kcache else None)
 
         cond_frames = sorted(state["cond_frame_idx"])
         if start_frame_idx is None:
@@ -309,6 +343,18 @@ class SAM2VideoPredictor:
         for f in cond_frames:
             out, bank = self._run_prompt_frame(state, bank, f, spec)
             cond_outputs[f] = out["pred_masks"]
+        # correction frames (add_all_frames_to_correct_as_cond=False): their
+        # prompted outputs are reused in the scan but the memory they write
+        # lives in the non-cond ring; keep their memory tensors so a full
+        # re-propagation can restore the ring slot when the scan passes them
+        # (the reference's unbounded per-frame dict never collides,
+        # sam2_video_predictor.py:1092-1096)
+        corr_mem = {}
+        for f in sorted(state.get("noncond_prompt_frame_idx", set())):
+            out, bank = self._run_prompt_frame(state, bank, f, spec,
+                                               write_cond=False)
+            cond_outputs[f] = out["pred_masks"]
+            corr_mem[f] = (out["maskmem_features"], out["obj_ptr"])
 
         # --- frame order ---
         if reverse:
@@ -327,18 +373,56 @@ class SAM2VideoPredictor:
             if f in cond_outputs:
                 stored[i] = np.asarray(cond_outputs[f], np.float32)
 
-        masks = self._scan_track(
-            self.params, self._session_images(state), bank,
-            jnp.asarray(order, jnp.int32), jnp.asarray(is_cond),
-            jnp.asarray(stored),
-            spec=spec, is_eval=state["is_eval"], num_frames=num_frames,
-            track_in_reverse=reverse,
-        )
-        return order, masks
+        images = self._session_images(state)
+        kw = dict(spec=spec, is_eval=state["is_eval"], num_frames=num_frames,
+                  track_in_reverse=reverse)
+        corr_positions = [i for i, f in enumerate(order) if f in corr_mem]
+        if not corr_positions:
+            masks = self._scan_track(
+                self.params, images, bank, jnp.asarray(order, jnp.int32),
+                jnp.asarray(is_cond), jnp.asarray(stored), pos_kcache, **kw)
+            return order, masks
+
+        # Segment the scan at correction frames: the scan's reuse branch does
+        # not write memory, and an earlier frame sharing the ring slot
+        # (frame % noncond_ring) would clobber the preflight-written correction
+        # memory before the scan reaches it — so run up to each correction
+        # frame, restore its memory host-side, and continue. Corrections are
+        # rare interactive events; segments stay scan-sized.
+        seg_masks = []
+        start = 0
+        for i in corr_positions:
+            seg = order[start:i + 1]
+            if seg:
+                m, bank = self._scan_track(
+                    self.params, images, bank, jnp.asarray(seg, jnp.int32),
+                    jnp.asarray(is_cond[start:i + 1]),
+                    jnp.asarray(stored[start:i + 1]), pos_kcache,
+                    return_bank=True, **kw)
+                seg_masks.append(m)
+            feats_f, ptr_f = corr_mem[order[i]]
+            kcache_f = None
+            if "cond_kcache" in bank:
+                from medsam2_tpu.core.memory import precompute_memory_kcache
+                mem_h = self.cfg.sam_image_embedding_size
+                kcache_f = precompute_memory_kcache(
+                    self.params["memory_attention"], self.cfg.memory_attention,
+                    feats_f, (mem_h, mem_h), dtype=bank["cond_kcache"].dtype)
+            bank = mb.write_bank(spec, bank, jnp.asarray(order[i], jnp.int32),
+                                 feats_f, ptr_f, is_cond=False, kcache=kcache_f)
+            start = i + 1
+        if start < len(order):
+            m = self._scan_track(
+                self.params, images, bank, jnp.asarray(order[start:], jnp.int32),
+                jnp.asarray(is_cond[start:]), jnp.asarray(stored[start:]),
+                pos_kcache, **kw)
+            seg_masks.append(m)
+        return order, jnp.concatenate(seg_masks, axis=0)
 
     # ------------------------------------------------------------------
 
-    def _run_prompt_frame(self, state, bank, frame_idx, spec=None):
+    def _run_prompt_frame(self, state, bank, frame_idx, spec=None,
+                          write_cond: bool = True):
         """Assemble per-object prompts for a frame and run the prompt step."""
         if spec is None:
             spec = self._session_spec(state)
@@ -382,7 +466,7 @@ class SAM2VideoPredictor:
             jnp.asarray(coords), jnp.asarray(labels), jnp.asarray(mask_inputs),
             jnp.asarray(use_mask),
             spec=spec, multimask_output=multimask, is_eval=state["is_eval"],
-            num_frames=state["num_frames"],
+            num_frames=state["num_frames"], write_cond=write_cond,
         )
         return out, bank
 
@@ -412,7 +496,8 @@ def _expand_to_objects(feats, pos, B):
 
 def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
                  use_mask, *, cfg: SAM2Config, spec: mb.BankSpec,
-                 multimask_output: bool, is_eval: bool, num_frames: int):
+                 multimask_output: bool, is_eval: bool, num_frames: int,
+                 write_cond: bool = True):
     """Conditioning-frame step: encode image, run point AND mask-prompt paths,
     select per object, consolidate, encode + write cond memory."""
     B = coords.shape[0]
@@ -449,21 +534,30 @@ def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
         is_mask_from_pts=~use_mask, binarize=is_eval,
         apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
     )
+    kcache = None
+    if "cond_kcache" in bank:
+        from medsam2_tpu.core.memory import precompute_memory_kcache
+        mem_h = cfg.sam_image_embedding_size
+        kcache = precompute_memory_kcache(
+            params["memory_attention"], cfg.memory_attention, maskmem_features,
+            (mem_h, mem_h), dtype=bank["cond_kcache"].dtype)
     bank = mb.write_bank(spec, bank, frame_idx, maskmem_features, obj_ptr,
-                         is_cond=True)
+                         is_cond=write_cond, kcache=kcache)
     out = {
         "pred_masks": low_res,
         "pred_masks_high_res": high_res_masks,
         "obj_ptr": obj_ptr,
         "object_score_logits": obj_score,
+        "maskmem_features": maskmem_features,
     }
     return out, bank
 
 
-def _scan_track(params, images, bank, frame_order, is_cond, stored_masks, *,
+def _scan_track(params, images, bank, frame_order, is_cond, stored_masks,
+                pos_kcache=None, *,
                 cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool,
                 num_frames: int, track_in_reverse: bool,
-                encode_chunk: int = 0):
+                encode_chunk: int = 0, return_bank: bool = False):
     """lax.scan over frames: track each non-cond frame with memory, reuse
     stored outputs on cond frames. Returns low-res mask logits
     [T_out, B, 1, h4, w4].
@@ -520,6 +614,7 @@ def _scan_track(params, images, bank, frame_order, is_cond, stored_masks, *,
                 run_mem_encoder=True, is_cond_frame=False,
                 track_in_reverse=track_in_reverse,
                 num_frames=num_frames, is_eval=is_eval,
+                pos_kcache=pos_kcache,
             )
             return out["pred_masks"].astype(jnp.float32), bank
 
@@ -529,54 +624,97 @@ def _scan_track(params, images, bank, frame_order, is_cond, stored_masks, *,
         masks, bank = jax.lax.cond(cond_flag, reuse, tracked, bank)
         return bank, masks
 
-    _, masks = jax.lax.scan(
+    bank, masks = jax.lax.scan(
         body, bank, (jnp.arange(T, dtype=jnp.int32), is_cond, stored_masks))
+    if return_bank:
+        return masks, bank
     return masks
 
 
 def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
                               videos: jnp.ndarray, prompt_coords: jnp.ndarray,
                               prompt_labels: jnp.ndarray,
-                              num_objects: int = 1) -> jnp.ndarray:
+                              num_objects: int = 1,
+                              prompt_frames: Tuple[int, ...] = (0,)) -> jnp.ndarray:
     """Batched multi-volume streaming (BASELINE config 5): vmap the full
     preflight + scan pipeline over a volume axis so several CT volumes stream
     through the ring-buffer memory bank concurrently on one chip (or sharded
     over the ``data`` mesh axis).
 
-    videos: [V, T, S, S, 3] normalized; prompt_coords/labels: [V, O, P, 2]/[V, O, P]
-    prompts on frame 0 for each object. Returns low-res logits [V, T, O, 1, h4, h4].
+    videos: [V, T, S, S, 3] normalized; prompt_coords/labels:
+    [V, F, O, P, 2] / [V, F, O, P] — one prompt set per ``prompt_frames``
+    entry (static tuple). Bbox prompts use the 2-corner label convention
+    (labels 2/3), matching the BTCV eval shape of a box every ``prompt_freq``
+    frames (``func_3d/function.py:98-127``). A rank-4/3 coords/labels input is
+    accepted as the legacy single-prompt-frame form (F=1 at frame 0).
+    Returns low-res logits [V, T, O, 1, h4, h4].
     """
     T = videos.shape[1]
+    if prompt_coords.ndim == 4:   # legacy [V, O, P, 2] form
+        prompt_coords = prompt_coords[:, None]
+        prompt_labels = prompt_labels[:, None]
+    F = len(prompt_frames)
+    if prompt_coords.shape[1] != F:
+        raise ValueError(
+            f"prompt_coords has {prompt_coords.shape[1]} prompt-frame sets "
+            f"but prompt_frames={prompt_frames!r}")
+    if spec.max_cond_frames < F:
+        raise ValueError(
+            f"spec.max_cond_frames={spec.max_cond_frames} cannot hold "
+            f"{F} conditioning frames")
 
     from medsam2_tpu.core.hiera import _get_pos_embed
     S = videos.shape[2]
     trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
+    h4 = cfg.low_res_mask_size
+    is_cond = np.zeros((T,), bool)
+    for f in prompt_frames:
+        is_cond[f] = True
+    kshape = sam2_model.kcache_shape(cfg)
+    pos_kcache = (sam2_model.make_pos_kcache(params, cfg, spec)
+                  if kshape[0] > 0 else None)
 
     def one_volume(video, coords, labels):
-        bank = mb.init_bank(spec, num_objects)
-        out, bank = _prompt_step(
-            params, video, bank, jnp.int32(0), coords, labels,
-            jnp.zeros((num_objects, cfg.image_size, cfg.image_size, 1), jnp.float32),
-            jnp.zeros((num_objects,), bool),
-            cfg=cfg, spec=spec, multimask_output=False, is_eval=True, num_frames=T)
+        bank = mb.init_bank(spec, num_objects, kcache_shape=kshape,
+                            kcache_dtype=sam2_model.kcache_dtype(cfg))
+        stored = jnp.zeros((T, num_objects, 1, h4, h4), jnp.float32)
+        for i, f in enumerate(prompt_frames):
+            out, bank = _prompt_step(
+                params, video, bank, jnp.int32(f), coords[i], labels[i],
+                jnp.zeros((num_objects, cfg.image_size, cfg.image_size, 1),
+                          jnp.float32),
+                jnp.zeros((num_objects,), bool),
+                cfg=cfg, spec=spec, multimask_output=False, is_eval=True,
+                num_frames=T)
+            stored = stored.at[f].set(out["pred_masks"].astype(jnp.float32))
 
-        def body(bank, frame_idx):
+        def body(bank, xs):
+            frame_idx, cond_flag, stored_f = xs
             frame = jax.lax.dynamic_index_in_dim(video, frame_idx, 0, keepdims=True)
             feats, pos = _encode_frame(params, frame, cfg=cfg,
                                        trunk_pos_embed=trunk_pe)
             feats, pos = _expand_to_objects(feats, pos, num_objects)
-            o, bank = sam2_model.track_step(
-                params, cfg, spec, bank, frame_idx,
-                is_init_cond_frame=False,
-                current_vision_feats=feats, current_vision_pos=pos,
-                multimask_output=sam2_model.use_multimask(cfg, False, 0),
-                run_mem_encoder=True, is_cond_frame=False,
-                num_frames=T, is_eval=True)
-            return bank, o["pred_masks"].astype(jnp.float32)
 
-        _, masks = jax.lax.scan(body, bank, jnp.arange(1, T, dtype=jnp.int32))
-        first = out["pred_masks"].astype(jnp.float32)[None]
-        return jnp.concatenate([first, masks], axis=0)
+            def tracked(bank):
+                o, bank = sam2_model.track_step(
+                    params, cfg, spec, bank, frame_idx,
+                    is_init_cond_frame=False,
+                    current_vision_feats=feats, current_vision_pos=pos,
+                    multimask_output=sam2_model.use_multimask(cfg, False, 0),
+                    run_mem_encoder=True, is_cond_frame=False,
+                    num_frames=T, is_eval=True, pos_kcache=pos_kcache)
+                return o["pred_masks"].astype(jnp.float32), bank
+
+            def reuse(bank):
+                return stored_f, bank
+
+            masks, bank = jax.lax.cond(cond_flag, reuse, tracked, bank)
+            return bank, masks
+
+        _, masks = jax.lax.scan(
+            body, bank,
+            (jnp.arange(T, dtype=jnp.int32), jnp.asarray(is_cond), stored))
+        return masks
 
     return jax.vmap(one_volume)(videos, prompt_coords, prompt_labels)
 

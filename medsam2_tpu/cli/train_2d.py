@@ -31,7 +31,8 @@ from medsam2_tpu.metrics.instance import get_dice_1, get_fast_aji, get_fast_pq, 
 from medsam2_tpu.metrics.segmentation import eval_seg
 from medsam2_tpu.state import similarity_bank as sb
 from medsam2_tpu.train import recipe_2d, recipe_nuclei
-from medsam2_tpu.utils.logging_utils import MetricLogger, create_logger, set_log_dir
+from medsam2_tpu.utils.logging_utils import (
+    MetricLogger, ScalarWriter, create_logger, set_log_dir)
 
 
 class SyntheticDataset:
@@ -80,6 +81,7 @@ def train_refuge(args, cfg, logger, paths):
                         seed=args.seed)
     bank = _bank_for(cfg, rcfg.memory_bank_size)
     ml = MetricLogger()
+    writer = ScalarWriter(paths["log_path"])
     any_written = False
     best_dice = 0.0
     for epoch in range(args.epochs):
@@ -94,10 +96,13 @@ def train_refuge(args, cfg, logger, paths):
             any_written = True
             ml.update(**{k: float(v) for k, v in metrics.items()})
         logger.info(f"epoch {epoch} in {time.time() - t0:.1f}s: {ml}")
+        writer.add_scalars(
+            {f"train/{k}": m.global_avg for k, m in ml.meters.items()}, epoch)
         if ((args.val_freq > 0 and epoch % args.val_freq == 0)
                 or epoch == args.epochs - 1):
             iou, dice = validate_refuge(args, cfg, rcfg, params, val_ds, bank)
             logger.info(f"epoch {epoch} val iou={iou:.4f} dice={dice:.4f}")
+            writer.add_scalars({"val/iou": iou, "val/dice": dice}, epoch)
             if dice > best_dice:
                 best_dice = dice
                 save_checkpoint(paths["ckpt_path"],
@@ -156,6 +161,7 @@ def train_nuclei(args, cfg, logger, paths):
                         seed=args.seed)
     bank = _bank_for(cfg, rcfg.memory_bank_size)
     ml = MetricLogger()
+    writer = ScalarWriter(paths["log_path"])
     any_written = False
     best = 0.0
     for epoch in range(args.epochs):
@@ -170,10 +176,14 @@ def train_nuclei(args, cfg, logger, paths):
             any_written = True
             ml.update(**{k: float(v) for k, v in metrics.items()})
         logger.info(f"epoch {epoch} in {time.time() - t0:.1f}s: {ml}")
+        writer.add_scalars(
+            {f"train/{k}": m.global_avg for k, m in ml.meters.items()}, epoch)
         if ((args.val_freq > 0 and epoch % args.val_freq == 0)
                 or epoch == args.epochs - 1):
             scores = validate_nuclei(args, cfg, rcfg, params, val_ds, bank, key)
             logger.info(f"epoch {epoch} val: {scores}")
+            writer.add_scalars({f"val/{k}": float(v) for k, v in scores.items()},
+                               epoch)
             if scores["dice1"] > best:
                 best = scores["dice1"]
                 save_checkpoint(paths["ckpt_path"],

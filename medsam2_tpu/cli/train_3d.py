@@ -26,7 +26,7 @@ from medsam2_tpu.data.synthetic import synthetic_volume
 from medsam2_tpu.metrics.segmentation import eval_seg
 from medsam2_tpu.train import recipe_3d
 from medsam2_tpu.utils.logging_utils import (
-    MetricLogger, Profiler, create_logger, set_log_dir)
+    MetricLogger, Profiler, ScalarWriter, create_logger, set_log_dir)
 
 
 class SyntheticVolumes:
@@ -178,6 +178,7 @@ def main(argv=None):
     val_loader = DataLoader(val_ds, batch_size=1, num_workers=0)
 
     profiler = Profiler(paths["log_path"]) if args.profile else None
+    writer = ScalarWriter(paths["log_path"])
     ml = MetricLogger()
     ema = None
     if args.model_ema:
@@ -211,12 +212,18 @@ def main(argv=None):
                                                         batch, dk)
                 if ema is not None and i % args.model_ema_steps == 0:
                     ema.update(params)
-                ml.update(**{k: float(v) for k, v in metrics.items()})
+                scalars = {k: float(v) for k, v in metrics.items()}
+                ml.update(**scalars)
                 if profiler:
                     profiler.step()
                 if i % args.print_freq == 0:
                     logger.info(f"epoch {epoch} step {i}: {ml}")
+                writer.add_scalars({f"train/{k}": v for k, v in scalars.items()},
+                                   step=epoch * 10 ** 6 + i)
             logger.info(f"epoch {epoch} trained in {time.time() - t0:.1f}s: {ml}")
+            writer.add_scalars(
+                {f"train_epoch/{k}": m.global_avg for k, m in ml.meters.items()},
+                step=epoch)
 
             # val_freq <= 0 validates only on the final epoch
             if ((args.val_freq > 0 and epoch % args.val_freq == 0)
@@ -224,6 +231,10 @@ def main(argv=None):
                 metrics = validation_sam(args, cfg, params, val_loader, logger,
                                          sample_dir=paths["sample_path"])
                 logger.info(f"epoch {epoch} val: {metrics}")
+                writer.add_scalars(
+                    {f"val/{k}": float(v) for k, v in metrics.items()
+                     if np.isscalar(v) or getattr(v, "ndim", 1) == 0},
+                    step=epoch)
                 state_to_save = {"params": params, "opt_state": opt_state,
                                  "epoch": epoch}
                 if ema is not None:
@@ -231,6 +242,7 @@ def main(argv=None):
                 save_checkpoint(paths["ckpt_path"], state_to_save, epoch)
     if profiler:
         profiler.close()
+    writer.close()
     return params
 
 

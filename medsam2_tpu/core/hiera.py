@@ -164,6 +164,16 @@ def _attention_block(bp, x, spec, q_stride):
     return layers.linear_apply(bp["proj"], out)
 
 
+def _use_fused_window(window_size: int, q_stride) -> bool:
+    # Fused kernel covers the plain windowed blocks; q-pooled and global
+    # blocks keep the XLA path. CPU keeps XLA so torch-parity tests pin the
+    # reference math directly (the kernel itself is interpret-tested).
+    import jax as _jax
+
+    return (window_size > 0 and q_stride is None
+            and _jax.default_backend() == "tpu")
+
+
 def _block_apply(bp, x, spec):
     """MultiScaleBlock (``hieradet.py:136-168``)."""
     window_size = spec["window_size"]
@@ -177,6 +187,23 @@ def _block_apply(bp, x, spec):
         shortcut = layers.linear_apply(bp["proj"], x)
         if q_stride is not None:
             shortcut = layers.max_pool2d(shortcut, q_stride, q_stride)
+
+    if _use_fused_window(window_size, q_stride):
+        from medsam2_tpu.ops.window_attention import window_attention
+
+        H, W = x.shape[1], x.shape[2]
+        ph = (window_size - H % window_size) % window_size
+        pw = (window_size - W % window_size) % window_size
+        xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0))) if ph or pw else x
+        qkv = layers.linear_apply(bp["attn"]["qkv"], xp)
+        out = window_attention(qkv, spec["num_heads"], window_size)
+        if ph or pw:
+            out = out[:, :H, :W]
+        x = shortcut + layers.linear_apply(bp["attn"]["proj"], out)
+        x = x + layers.mlp_apply(bp["mlp"],
+                                 layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
+                                 activation=layers.gelu)
+        return x
 
     H, W = x.shape[1], x.shape[2]
     pad_hw = (H, W)

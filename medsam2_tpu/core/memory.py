@@ -64,7 +64,7 @@ def _dropout(x, rate: float, key):
 def _memory_attention_layer_apply(
     p, cfg: MemoryAttentionConfig, tgt, memory, pos, query_pos,
     q_hw: Tuple[int, int], num_k_exclude_rope: int, kv_mask,
-    dropout_key=None,
+    dropout_key=None, k_cached=None,
 ):
     """One MemoryAttentionLayer (``memory_attention.py:58-99``). Residual
     dropout (rate ``cfg.dropout``) applies only when a ``dropout_key`` is
@@ -89,6 +89,7 @@ def _memory_attention_layer_apply(
         p["cross_attn_image"], q, k, memory, cfg.cross_attn_num_heads,
         q_hw=q_hw, rope_theta=cfg.rope_theta, rope_k_repeat=True,
         num_k_exclude_rope=num_k_exclude_rope, kv_mask=kv_mask,
+        k_cached=k_cached,
     )
     tgt = tgt + _dropout(tgt2, cfg.dropout, k2)
 
@@ -111,19 +112,75 @@ def memory_attention_apply(
     num_obj_ptr_tokens: int = 0,
     kv_mask: Optional[jnp.ndarray] = None,  # [B, Nk] True = valid slot
     dropout_key=None,
+    k_cache=None,  # ([B, Fa, L, P, C] memory part, [Fa, L, P, C] pos part)
 ) -> jnp.ndarray:
-    """``MemoryAttention.forward`` (``memory_attention.py:119-169``)."""
+    """``MemoryAttention.forward`` (``memory_attention.py:119-169``).
+
+    ``k_cache``: precomputed roped spatial keys as a (memory, positional)
+    pair (see :func:`precompute_memory_kcache`); when given, each layer's
+    cross-attention skips the k projection + RoPE over the long spatial
+    memory — the per-layer slice + add fuses into the attention input."""
     output = curr
     if cfg.pos_enc_at_input and curr_pos is not None:
         output = output + 0.1 * curr_pos
     keys = (jax.random.split(dropout_key, len(p["layers"]))
             if dropout_key is not None else [None] * len(p["layers"]))
-    for lp, lk in zip(p["layers"], keys):
+    for li, (lp, lk) in enumerate(zip(p["layers"], keys)):
+        k_cached = None
+        if k_cache is not None:
+            mem_part, pos_part = k_cache
+            kc = mem_part[:, :, li] + pos_part[None, :, li].astype(mem_part.dtype)
+            k_cached = kc.reshape(kc.shape[0], -1, kc.shape[-1])
         output = _memory_attention_layer_apply(
             lp, cfg, output, memory, memory_pos, curr_pos, q_hw,
-            num_obj_ptr_tokens, kv_mask, dropout_key=lk,
+            num_obj_ptr_tokens, kv_mask, dropout_key=lk, k_cached=k_cached,
         )
     return layers.layer_norm_apply(p["norm"], output)
+
+
+# ---------------------------------------------------------------------------
+# Roped-key cache (write-time k projection + RoPE of memory tokens)
+# ---------------------------------------------------------------------------
+
+
+def precompute_memory_kcache(p, cfg: MemoryAttentionConfig,
+                             feats: jnp.ndarray, q_hw: Tuple[int, int],
+                             dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Per-layer roped k projections of one frame's memory features.
+
+    feats [B, P, mem_dim] -> [B, L, P, d_model]. RoPE is linear, so the
+    rotation of ``Wk (mem + pos) + b`` splits into this write-time memory part
+    (no bias) plus a session-static positional part
+    (:func:`precompute_pos_kcache`); spatial positions within a frame never
+    change, so this is computed once per frame instead of once per tracked
+    frame x layer (the reference re-ropes all memories every frame,
+    ``transformer.py:288-315`` with ``rope_k_repeat``)."""
+    from medsam2_tpu.core.transformer import roped_k_for_tokens
+
+    ks = [roped_k_for_tokens(lp["cross_attn_image"], feats,
+                             cfg.cross_attn_num_heads, q_hw, cfg.rope_theta,
+                             with_bias=False).astype(dtype)
+          for lp in p["layers"]]
+    return jnp.stack(ks, axis=1)
+
+
+def precompute_pos_kcache(p, cfg: MemoryAttentionConfig,
+                          pos_rows: jnp.ndarray, q_hw: Tuple[int, int],
+                          dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Session-static positional k contribution (with bias).
+
+    pos_rows [Fa, P, mem_dim]: per read-order frame slot, the spatial sine
+    embedding + that slot's (static) t_pos embedding. Returns
+    [Fa, L, P, d_model] — added to the gathered write-time cache at read time.
+    Depends only on params and the bank geometry, so callers hoist it out of
+    the propagation scan."""
+    from medsam2_tpu.core.transformer import roped_k_for_tokens
+
+    ks = [roped_k_for_tokens(lp["cross_attn_image"], pos_rows,
+                             cfg.cross_attn_num_heads, q_hw, cfg.rope_theta,
+                             with_bias=True).astype(dtype)
+          for lp in p["layers"]]
+    return jnp.stack(ks, axis=1)
 
 
 # ---------------------------------------------------------------------------

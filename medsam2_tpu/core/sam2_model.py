@@ -298,11 +298,16 @@ def prepare_memory_conditioned_features(
     num_frames: int = 2 ** 30,
     is_eval: bool = False,
     dropout_key=None,
+    pos_kcache=None,
 ) -> jnp.ndarray:
     """``SAM2Base._prepare_memory_conditioned_features`` (``sam2_base.py:494-663``)
     against the fixed-shape bank. Returns [B, h, w, C]. ``dropout_key``
     activates the memory-attention training dropout (rate 0.1 in the reference,
-    ``memory_attention.py:33-99``); None = deterministic inference."""
+    ``memory_attention.py:33-99``); None = deterministic inference.
+
+    ``pos_kcache`` [Fa, L, P, d_model]: the session-static positional half of
+    the roped-key cache (hoisted out of the propagation scan); requires a bank
+    built with kcache slots."""
     B, h, w, C = current_vision_feats.shape
     curr = current_vision_feats.reshape(B, h * w, C)
     curr_pos = current_vision_pos.reshape(B, h * w, C).astype(curr.dtype)
@@ -357,13 +362,44 @@ def prepare_memory_conditioned_features(
         valid = valid[:, : spec.num_spatial_tokens]
         num_ptr_tokens = 0
 
+    k_cache = None
+    if pos_kcache is not None and "cond_kcache" in bank:
+        k_cache = (mb.read_kcache(spec, bank, frame_idx,
+                                  track_in_reverse=track_in_reverse),
+                   pos_kcache)
+
     out = memory_attention_apply(
         params["memory_attention"], cfg.memory_attention,
         curr, memory_tokens.astype(curr.dtype), curr_pos, memory_pos.astype(curr.dtype),
         q_hw=(w, h), num_obj_ptr_tokens=num_ptr_tokens, kv_mask=valid,
-        dropout_key=dropout_key,
+        dropout_key=dropout_key, k_cache=k_cache,
     )
     return out.reshape(B, h, w, C)
+
+
+def kcache_shape(cfg: SAM2Config) -> Tuple[int, int]:
+    """(num_layers, d_model) for banks carrying the roped-key cache, or (0, 0)
+    when the cache doesn't apply (no memory, or keys don't take positional
+    encodings — the cache folds ``memory + pos`` linearity through RoPE)."""
+    if cfg.num_maskmem <= 0 or not cfg.memory_attention.pos_enc_at_cross_attn_keys:
+        return (0, 0)
+    return (cfg.memory_attention.num_layers, cfg.memory_attention.d_model)
+
+
+def kcache_dtype(cfg: SAM2Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def make_pos_kcache(params, cfg: SAM2Config, spec: mb.BankSpec) -> jnp.ndarray:
+    """Session-static positional half of the roped-key cache [Fa, L, P, C].
+    Depends only on params and bank geometry — compute once per session and
+    pass into :func:`track_step` (hoisted out of the propagation scan)."""
+    mem_h = cfg.sam_image_embedding_size
+    spatial_pos = sine_pos_embed(mem_h, mem_h, cfg.mem_dim).reshape(-1, cfg.mem_dim)
+    rows = mb.pos_kcache_rows(spec, params["maskmem_tpos_enc"], spatial_pos)
+    return memory.precompute_pos_kcache(
+        params["memory_attention"], cfg.memory_attention, rows, (mem_h, mem_h),
+        dtype=kcache_dtype(cfg))
 
 
 def apply_non_overlapping_constraints(pred_masks: jnp.ndarray) -> jnp.ndarray:
@@ -401,9 +437,14 @@ def track_step(
     is_eval: bool = False,
     prev_sam_mask_logits: Optional[jnp.ndarray] = None,
     dropout_key=None,
+    pos_kcache=None,
 ) -> Tuple[Dict, Dict]:
     """Single-frame pipeline (``sam2_base.py:705-800``): memory readout -> SAM
-    heads -> memory write. Returns (outputs dict, updated bank)."""
+    heads -> memory write. Returns (outputs dict, updated bank).
+
+    ``pos_kcache``: session-static positional roped keys — enables the bank's
+    roped-key cache (the bank must carry kcache slots; the memory half of the
+    cache for this frame is computed at write time below)."""
     high_res_features = (
         list(current_vision_feats[:-1]) if len(current_vision_feats) > 1 else None
     )
@@ -416,7 +457,7 @@ def track_step(
             params, cfg, spec, bank, frame_idx, is_init_cond_frame,
             current_vision_feats[-1], current_vision_pos[-1],
             track_in_reverse=track_in_reverse, num_frames=num_frames, is_eval=is_eval,
-            dropout_key=dropout_key,
+            dropout_key=dropout_key, pos_kcache=pos_kcache,
         )
         if prev_sam_mask_logits is not None:
             mask_inputs = prev_sam_mask_logits
@@ -444,8 +485,16 @@ def track_step(
             binarize=is_eval,
             apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
         )
+        kcache = None
+        if "cond_kcache" in bank:
+            mem_h = cfg.sam_image_embedding_size
+            kcache = memory.precompute_memory_kcache(
+                params["memory_attention"], cfg.memory_attention,
+                maskmem_features, (mem_h, mem_h),
+                dtype=bank["cond_kcache"].dtype)
         bank = mb.write_bank(spec, bank, frame_idx, maskmem_features,
-                             sam_outputs.obj_ptr, is_cond=is_cond_frame)
+                             sam_outputs.obj_ptr, is_cond=is_cond_frame,
+                             kcache=kcache)
 
     return out, bank
 

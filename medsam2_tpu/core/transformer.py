@@ -92,9 +92,39 @@ def _apply_rope_half(x, cos, sin, repeat: int = 1):
     return out.astype(orig_dtype)
 
 
+def roped_k_for_tokens(p_attn, tokens, num_heads: int, q_hw: Tuple[int, int],
+                       rope_theta: float = 10000.0, with_bias: bool = False):
+    """Project ``tokens`` [B, P, Dkv] through the (permuted) k projection and
+    apply the within-frame axial RoPE rotation. P must equal w*h of ``q_hw``
+    (one memory frame). Returns [B, P, C_int] in half-split channel layout —
+    the exact per-frame k contribution :func:`rope_attn_apply` would compute.
+
+    Used by the memory-bank roped-key cache: RoPE is linear, so
+    ``rope(Wk(mem + pos) + b) == rope(Wk mem) + rope(Wk pos + b)`` — the
+    memory part is computed once at bank-write time (``with_bias=False``) and
+    the positional part once per session (``with_bias=True``), instead of
+    re-projecting + re-rotating ~29k kv tokens in every frame and layer
+    (cf. ``rope_k_repeat``, reference ``transformer.py:288-315``)."""
+    C_int = p_attn["k_proj"]["w"].shape[1]
+    perm = jnp.asarray(_rope_half_perm(C_int, num_heads))
+    if with_bias:
+        kp = _linear_perm(p_attn["k_proj"], tokens, perm)
+    else:
+        w = jnp.take(p_attn["k_proj"]["w"], perm, axis=1)
+        kp = jnp.matmul(tokens, w.astype(tokens.dtype), precision=layers.PRECISION)
+    B, P, _ = kp.shape
+    head_dim = C_int // num_heads
+    kp = kp.reshape(B, P, num_heads, head_dim).transpose(0, 2, 1, 3)
+    gw, gh = q_hw
+    cos, sin = axial_rope_cos_sin(head_dim, gw, gh, rope_theta)
+    kp = _apply_rope_half(kp, cos, sin)
+    return kp.transpose(0, 2, 1, 3).reshape(B, P, C_int)
+
+
 def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
                     rope_theta: float = 10000.0, rope_k_repeat: bool = False,
-                    num_k_exclude_rope: int = 0, kv_mask=None):
+                    num_k_exclude_rope: int = 0, kv_mask=None,
+                    k_cached: Optional[jnp.ndarray] = None):
     """RoPE attention (``transformer.py:266-331``).
 
     ``q_hw``: the (w, h) spatial extent of the query tokens (row-major). The
@@ -107,11 +137,21 @@ def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
     permutation of q and k leaves QK^T unchanged; v and the output projection
     are untouched). This removes stride-2 channel gathers on the long memory
     k tensor.
+
+    ``k_cached`` [B, num_k_rope, C_int]: precomputed roped spatial keys (from
+    the bank's roped-key cache, already projected/permuted/rotated); only the
+    trailing ``num_k_exclude_rope`` pointer tokens of ``k`` are then projected
+    here.
     """
     C_int = p["q_proj"]["w"].shape[1]
     perm = jnp.asarray(_rope_half_perm(C_int, num_heads))
     qp = _split_heads(_linear_perm(p["q_proj"], q, perm), num_heads)
-    kp = _split_heads(_linear_perm(p["k_proj"], k, perm), num_heads)
+    if k_cached is None:
+        kp = _split_heads(_linear_perm(p["k_proj"], k, perm), num_heads)
+    else:
+        ptr_k = _linear_perm(p["k_proj"], k[:, k_cached.shape[1]:], perm)
+        kp = _split_heads(
+            jnp.concatenate([k_cached.astype(q.dtype), ptr_k], axis=1), num_heads)
 
     head_dim = qp.shape[-1]
     # Low-rank value path: values get no RoPE, so P @ (v W_v) == (P @ v) W_v
@@ -132,7 +172,7 @@ def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
 
     nk = kp.shape[2]
     num_k_rope = nk - num_k_exclude_rope
-    if num_k_rope > 0:
+    if k_cached is None and num_k_rope > 0:
         repeat = num_k_rope // qp.shape[2] if rope_k_repeat else 1
         k_rot = _apply_rope_half(kp[:, :, :num_k_rope], cos, sin, repeat=repeat)
         kp = jnp.concatenate([k_rot, kp[:, :, num_k_rope:]], axis=2) \

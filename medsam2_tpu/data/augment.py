@@ -38,6 +38,21 @@ class NucleiAugmentConfig:
     min_cell_retries: int = 4
 
 
+def _pad_reflect(arr: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Reflect-pad the first two axes by (ph, pw). np.pad 'reflect' requires
+    pad < dim, so tiles much smaller than the crop (e.g. 100 px tile, 256
+    crop) are padded in chunks; 1-px dims fall back to edge padding."""
+    while ph > 0 or pw > 0:
+        dh = min(ph, max(arr.shape[0] - 1, 1))
+        dw = min(pw, max(arr.shape[1] - 1, 1))
+        widths = ((0, dh), (0, dw)) + ((0, 0),) * (arr.ndim - 2)
+        mode = "reflect" if min(arr.shape[0], arr.shape[1]) > 1 else "edge"
+        arr = np.pad(arr, widths, mode=mode)
+        ph -= dh
+        pw -= dw
+    return arr
+
+
 def random_crop_pair(img: np.ndarray, inst_map: np.ndarray, size: int,
                      rng: np.random.Generator,
                      min_cell_retries: int = 0) -> Tuple[np.ndarray, np.ndarray]:
@@ -47,8 +62,8 @@ def random_crop_pair(img: np.ndarray, inst_map: np.ndarray, size: int,
     H, W = inst_map.shape[:2]
     if H < size or W < size:
         ph, pw = max(size - H, 0), max(size - W, 0)
-        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="reflect")
-        inst_map = np.pad(inst_map, ((0, ph), (0, pw)), mode="reflect")
+        img = _pad_reflect(img, ph, pw)
+        inst_map = _pad_reflect(inst_map, ph, pw)
         H, W = inst_map.shape[:2]
     for _ in range(max(min_cell_retries, 0) + 1):
         y0 = int(rng.integers(0, H - size + 1))

@@ -167,10 +167,24 @@ class NiftiVolumes(BTCV):
 
         vol, _ = load_nifti(os.path.join(self.images_dir, name))
         seg, _ = load_nifti(os.path.join(self.labels_dir, name))
-        if vol.ndim == 4:
-            vol = vol[..., 0]
-        if seg.ndim == 4:
-            seg = seg[..., 0]
+
+        def _to_3d(a, role):
+            # 5-D+ files (e.g. time x vector dims) pass the reader's ndim<=7
+            # check; squeeze trailing singletons, take the first component of
+            # a 4th axis, and reject anything still above 3-D with a clear
+            # message instead of a confusing slicing shape error downstream.
+            while a.ndim > 3 and a.shape[-1] == 1:
+                a = a[..., 0]
+            if a.ndim == 4:
+                a = a[..., 0]
+            if a.ndim != 3:
+                raise ValueError(
+                    f"{name}: unsupported {role} ndim {a.ndim} "
+                    f"(shape {a.shape}); expected a 3-D volume")
+            return a
+
+        vol = _to_3d(vol, "image")
+        seg = _to_3d(seg, "label")
         seg = seg.astype(np.int32)                      # [X, Y, Z]
         gray = ct_window(vol, self.window_center, self.window_width)
 

@@ -73,8 +73,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *rest,
     l_prev = l_scratch[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
-    # Guard fully-masked rows: exp(-inf - -inf) -> use large negative sentinel.
-    p = jnp.exp(s - m_next)                   # [bq, bk]
+    # Zero masked probabilities (maskf is exactly 0/1): without this, a fully
+    # masked block has s == m_next == -1e30 so exp(0) = 1 would leak padded
+    # rows into l/acc; with it, fully-masked rows keep l == 0 and hit the
+    # zero-output finalize guard, matching the backward (which also zeroes
+    # masked probabilities).
+    p = jnp.exp(s - m_next) * mask            # [bq, bk]
     alpha = jnp.exp(m_prev - m_next)          # [bq, 1]
     l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
@@ -173,38 +177,45 @@ def _flash_bwd(scale, bq, bk, res, do):
 
     Recomputes P = exp(S*scale - lse) one kv chunk at a time (flash-style, so
     the [Nq, Nk] probability matrix is never materialized whole), then the
-    standard dS = P*(dO V^T - D), dQ = dS K, dK = dS^T Q, dV = P^T dO. All
-    math in fp32; cast back to input dtypes at the end.
+    standard dS = P*(dO V^T - D), dQ = dS K, dK = dS^T Q, dV = P^T dO.
+
+    Dtype discipline matches the forward kernel: dots run in the input dtype
+    (bf16 training path -> native MXU passes) with fp32 accumulation via
+    ``preferred_element_type``; softmax/rescale math stays fp32. fp32 inputs
+    keep HIGHEST-precision dots for the grad-parity tests.
     """
     qf, kf, vf, maskf, o, lse = res
     f32 = jnp.float32
-    q32 = qf.astype(f32)
-    do32 = do.astype(f32)
-    Dvec = jnp.sum(do32 * o.astype(f32), axis=-1)            # [BH, Nq]
+    in_dt = qf.dtype
+    prec = (jax.lax.Precision.HIGHEST if in_dt == f32
+            else jax.lax.Precision.DEFAULT)
+    do_c = do.astype(in_dt)
+    Dvec = jnp.sum(do.astype(f32) * o.astype(f32), axis=-1)  # [BH, Nq]
     Nk = kf.shape[1]
     # chunk must divide the (bk-multiple) padded Nk; prefer 512-wide chunks
     CH = 512 if Nk % 512 == 0 else bk
     nch = Nk // CH
 
     def body(dq, i):
-        ks = jax.lax.dynamic_slice_in_dim(kf, i * CH, CH, 1).astype(f32)
-        vs = jax.lax.dynamic_slice_in_dim(vf, i * CH, CH, 1).astype(f32)
+        ks = jax.lax.dynamic_slice_in_dim(kf, i * CH, CH, 1)
+        vs = jax.lax.dynamic_slice_in_dim(vf, i * CH, CH, 1)
         ms = jax.lax.dynamic_slice_in_dim(maskf, i * CH, CH, 2)  # [BH,1,CH]
-        s = jnp.einsum("bqd,bkd->bqk", q32, ks,
-                       precision=jax.lax.Precision.HIGHEST) * scale
-        p = jnp.where(ms > 0, jnp.exp(s - lse[..., None]), 0.0)  # [BH,Nq,CH]
-        dv = jnp.einsum("bqk,bqe->bke", p, do32,
-                        precision=jax.lax.Precision.HIGHEST)
-        dp = jnp.einsum("bqe,bke->bqk", do32, vs,
-                        precision=jax.lax.Precision.HIGHEST)
-        ds = p * (dp - Dvec[..., None])
-        dq = dq + jnp.einsum("bqk,bkd->bqd", ds, ks,
-                             precision=jax.lax.Precision.HIGHEST) * scale
-        dk = jnp.einsum("bqk,bqd->bkd", ds, q32,
-                        precision=jax.lax.Precision.HIGHEST) * scale
+        s = jnp.einsum("bqd,bkd->bqk", qf, ks, precision=prec,
+                       preferred_element_type=f32) * scale
+        p32 = jnp.where(ms > 0, jnp.exp(s - lse[..., None]), 0.0)  # [BH,Nq,CH]
+        p = p32.astype(in_dt)
+        dv = jnp.einsum("bqk,bqe->bke", p, do_c, precision=prec,
+                        preferred_element_type=f32)
+        dp = jnp.einsum("bqe,bke->bqk", do_c, vs, precision=prec,
+                        preferred_element_type=f32)
+        ds = (p32 * (dp - Dvec[..., None])).astype(in_dt)
+        dq = dq + jnp.einsum("bqk,bkd->bqd", ds, ks, precision=prec,
+                             preferred_element_type=f32) * scale
+        dk = jnp.einsum("bqk,bqd->bkd", ds, qf, precision=prec,
+                        preferred_element_type=f32) * scale
         return dq, (dk, dv)
 
-    dq0 = jnp.zeros(q32.shape, f32)
+    dq0 = jnp.zeros(qf.shape, f32)
     dq, (dks, dvs) = jax.lax.scan(body, dq0, jnp.arange(nch))
     dk = jnp.moveaxis(dks, 0, 1).reshape(kf.shape)
     dv = jnp.moveaxis(dvs, 0, 1).reshape(vf.shape)

@@ -93,11 +93,20 @@ def batch_iterator(batch_size: int, *args) -> Generator[List[Any], None, None]:
 
 
 def mask_to_rle(masks: np.ndarray) -> List[Dict[str, Any]]:
-    """Fortran-order uncompressed RLE (``mask_to_rle_pytorch``, ``amg.py:109-137``)."""
+    """Fortran-order uncompressed RLE (``mask_to_rle_pytorch``, ``amg.py:109-137``).
+
+    Uses the native C++ encoder (``native/postproc.cpp:rle_encode``) when
+    available — it walks the row-major mask in column order directly, so the
+    batch-transpose the numpy path needs never materializes."""
     masks = np.asarray(masks, bool)
     B, h, w = masks.shape
     if B == 0:
         return []
+    from medsam2_tpu import native
+
+    if native.lib() is not None:
+        return [{"size": [h, w], "counts": native.rle_encode(masks[i])}
+                for i in range(B)]
     flat = masks.transpose(0, 2, 1).reshape(B, -1)  # fortran order: column-major
     out = []
     for i in range(B):

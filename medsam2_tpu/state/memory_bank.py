@@ -57,6 +57,14 @@ class BankSpec:
 
     @classmethod
     def from_config(cls, cfg: SAM2Config, max_cond_frames: int = 8):
+        # Honor ``max_cond_frames_in_attn`` (the reference's top-k closest
+        # cond-frame cap at attention time, ``sam2_base.py:516-528``): with the
+        # closest-to-current eviction policy in :func:`write_bank`, a bank
+        # capped at that many cond slots retains exactly the frames
+        # ``select_closest_cond_frames`` would select.
+        if cfg.max_cond_frames_in_attn >= 0:
+            max_cond_frames = max(1, min(max_cond_frames,
+                                         cfg.max_cond_frames_in_attn))
         s = cfg.image_size // cfg.backbone_stride
         return cls(
             num_maskmem=cfg.num_maskmem,
@@ -105,10 +113,18 @@ class BankSpec:
         return self.num_spatial_tokens + self.num_ptr_tokens
 
 
-def init_bank(spec: BankSpec, batch: int, dtype=jnp.float32):
-    """Empty bank pytree for ``batch`` objects."""
+def init_bank(spec: BankSpec, batch: int, dtype=jnp.float32,
+              kcache_shape: Tuple[int, int] = (0, 0),
+              kcache_dtype=jnp.bfloat16):
+    """Empty bank pytree for ``batch`` objects.
+
+    ``kcache_shape`` = (num_layers, d_model): when non-zero, the bank also
+    carries per-slot *roped-key caches* — the memory part of each
+    cross-attention layer's k tensor, projected + RoPE-rotated once at write
+    time (:func:`medsam2_tpu.core.memory.precompute_memory_kcache`) instead of
+    re-computed over the whole ~29k-token memory every tracked frame."""
     B = batch
-    return {
+    bank = {
         "cond_feats": jnp.zeros((B, spec.max_cond_frames, spec.mem_spatial, spec.mem_dim), dtype),
         "cond_frame_idx": -jnp.ones((B, spec.max_cond_frames), jnp.int32),
         "cond_obj_ptr": jnp.zeros((B, spec.max_cond_frames, spec.hidden_dim), dtype),
@@ -118,11 +134,23 @@ def init_bank(spec: BankSpec, batch: int, dtype=jnp.float32):
         "ptr_ring": jnp.zeros((B, spec.ptr_ring, spec.hidden_dim), dtype),
         "ptr_frame_idx": -jnp.ones((B, spec.ptr_ring), jnp.int32),
     }
+    L, C = kcache_shape
+    if L > 0:
+        bank["cond_kcache"] = jnp.zeros(
+            (B, spec.max_cond_frames, L, spec.mem_spatial, C), kcache_dtype)
+        bank["noncond_kcache"] = jnp.zeros(
+            (B, spec.noncond_ring, L, spec.mem_spatial, C), kcache_dtype)
+    return bank
 
 
-def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond: bool):
+def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond: bool,
+               kcache=None):
     """Store a frame's memory. ``frame_idx`` scalar int32 (same for the batch);
-    ``maskmem_feats`` [B, P, D]; ``obj_ptr`` [B, C]; ``is_cond`` static."""
+    ``maskmem_feats`` [B, P, D]; ``obj_ptr`` [B, C]; ``is_cond`` static;
+    ``kcache`` [B, L, P, d_model] optional roped-key cache for this frame
+    (required iff the bank was built with one)."""
+    if ("cond_kcache" in bank) != (kcache is not None):
+        raise ValueError("bank kcache presence and write kcache argument disagree")
     bank = dict(bank)
     frame_idx = jnp.asarray(frame_idx, jnp.int32)
     if is_cond:
@@ -142,10 +170,16 @@ def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond:
         bank["cond_obj_ptr"] = jax.lax.dynamic_update_index_in_dim(
             bank["cond_obj_ptr"], obj_ptr.astype(bank["cond_obj_ptr"].dtype), slot, 1)
         bank["cond_count"] = jnp.minimum(bank["cond_count"] + 1, spec.max_cond_frames)
+        if kcache is not None:
+            bank["cond_kcache"] = jax.lax.dynamic_update_index_in_dim(
+                bank["cond_kcache"], kcache.astype(bank["cond_kcache"].dtype), slot, 1)
     else:
         slot = jnp.remainder(frame_idx, spec.noncond_ring)
         bank["noncond_feats"] = jax.lax.dynamic_update_index_in_dim(
             bank["noncond_feats"], maskmem_feats.astype(bank["noncond_feats"].dtype), slot, 1)
+        if kcache is not None:
+            bank["noncond_kcache"] = jax.lax.dynamic_update_index_in_dim(
+                bank["noncond_kcache"], kcache.astype(bank["noncond_kcache"].dtype), slot, 1)
         bank["noncond_frame_idx"] = jax.lax.dynamic_update_index_in_dim(
             bank["noncond_frame_idx"], jnp.full((bank["noncond_frame_idx"].shape[0],), frame_idx), slot, 1)
         pslot = jnp.remainder(frame_idx, spec.ptr_ring)
@@ -169,6 +203,37 @@ def _noncond_target_frames(spec: BankSpec, frame_idx, track_in_reverse: bool):
         last = frame_idx + 1
         strided = -((-(frame_idx + 2)) // r) * r + (t_rel - 2) * r
     return jnp.where(t_rel == 1, last, strided)
+
+
+def read_kcache(spec: BankSpec, bank, frame_idx,
+                track_in_reverse: bool = False) -> jnp.ndarray:
+    """Gather the roped-key cache in read order (cond slots first, then the
+    stride-r non-cond targets — the same slot arithmetic as
+    :func:`read_bank`). Returns [B, Fa, L, P, C]. Invalid/stale slots carry
+    stale-but-finite values; the attention kv mask from :func:`read_bank`
+    excludes them."""
+    frame_idx = jnp.asarray(frame_idx, jnp.int32)
+    targets = _noncond_target_frames(spec, frame_idx, track_in_reverse)
+    slots = jnp.remainder(jnp.clip(targets, 0, None), spec.noncond_ring)
+    nc = jnp.take(bank["noncond_kcache"], slots, axis=1)
+    return jnp.concatenate([bank["cond_kcache"], nc], axis=1)
+
+
+def pos_kcache_rows(spec: BankSpec, maskmem_tpos_enc: jnp.ndarray,
+                    spatial_pos: jnp.ndarray) -> jnp.ndarray:
+    """The per-read-order-slot positional rows [Fa, P, mem_dim] whose roped
+    projection is the session-static half of the k cache: spatial sine pos +
+    the slot's t_pos embedding (t_pos assignment per read position is static —
+    cond slots use index num_maskmem-1, non-cond position j uses
+    ``num_maskmem - j - 2``; cf. :func:`read_bank`)."""
+    D = spec.mem_dim
+    cond_tpos = maskmem_tpos_enc[spec.num_maskmem - 1]
+    tpos_idx = spec.num_maskmem - jnp.arange(1, spec.num_maskmem) - 1
+    nc_tpos = maskmem_tpos_enc[tpos_idx]
+    tpos = jnp.concatenate(
+        [jnp.broadcast_to(cond_tpos[None], (spec.max_cond_frames, D)), nc_tpos],
+        axis=0)                                                  # [Fa, D]
+    return spatial_pos[None, :, :] + tpos[:, None, :]
 
 
 def read_bank(

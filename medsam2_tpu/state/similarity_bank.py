@@ -36,35 +36,60 @@ def init_similarity_bank(num_slots: int, mem_spatial: int, mem_dim: int,
     }
 
 
-def read_similarity_bank(bank, cur_embeds: jnp.ndarray, key,
-                         num_samples: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sample memories for each batch item.
-
-    cur_embeds: [B, E] flattened current image embeddings.
-    Returns (memory [B, num_samples * P, D], slot indices [B, num_samples]).
-    """
+def similarity_logits(bank, cur_embeds: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-similarity sampling logits over bank slots (``:101-109``):
+    softmax of these == the reference's ``F.softmax(mm(norms), dim=1)``
+    multinomial weights. Invalid slots get -inf."""
     eps = 1e-12
     bank_norm = bank["embeds"] / jnp.maximum(
         jnp.linalg.norm(bank["embeds"], axis=1, keepdims=True), eps)
     cur_norm = cur_embeds / jnp.maximum(
         jnp.linalg.norm(cur_embeds, axis=1, keepdims=True), eps)
     sim = cur_norm @ bank_norm.T  # [B, K]
-    logits = jnp.where(bank["valid"][None, :], sim, -jnp.inf)
-    idx = jax.random.categorical(key, logits, axis=-1,
-                                 shape=(num_samples, cur_embeds.shape[0])).T  # [B, S]
+    return jnp.where(bank["valid"][None, :], sim, -jnp.inf)
+
+
+def read_similarity_bank(bank, cur_embeds: jnp.ndarray, key,
+                         num_samples: int,
+                         indices: jnp.ndarray | None = None,
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample memories for each batch item.
+
+    cur_embeds: [B, E] flattened current image embeddings.
+    ``indices`` [B, num_samples] overrides the categorical draw (used by the
+    executed-reference differential to force the torch multinomial's draws).
+    Returns (memory [B, num_samples * P, D], slot indices [B, num_samples]).
+    """
+    logits = similarity_logits(bank, cur_embeds)
+    if indices is None:
+        idx = jax.random.categorical(key, logits, axis=-1,
+                                     shape=(num_samples, cur_embeds.shape[0])).T  # [B, S]
+    else:
+        idx = indices
     mem = bank["feats"][idx]  # [B, S, P, D]
     B, S, P, D = mem.shape
     return mem.reshape(B, S * P, D), idx
 
 
 def write_similarity_bank(bank, feats: jnp.ndarray, iou: jnp.ndarray,
-                          embeds: jnp.ndarray):
+                          embeds: jnp.ndarray, bank_size: int | None = None):
     """Insert/replace a batch of memories. feats [B, P, D]; iou scalar (the
     reference stores the batch-mean IoU for every entry, ``:209``);
-    embeds [B, E]."""
+    embeds [B, E].
+
+    ``bank_size`` is the reference's *logical* ``args.memory_bank_size``
+    threshold (default: the static slot count K). The reference checks
+    ``len(bank) < memory_bank_size`` ONCE per step and then appends the whole
+    batch (``function.py:204-210``), so the bank can overshoot the nominal
+    size by up to B-1 and then stays there; callers that want exact parity at
+    non-divisible batch sizes allocate ``K = B * ceil(size / B)`` static slots
+    and pass ``bank_size=size``."""
     eps = 1e-12
     B = feats.shape[0]
     K = bank["feats"].shape[0]
+    size = K if bank_size is None else min(bank_size, K)
+    # batch-level append/replace decision, taken before the batch loop
+    append_mode = jnp.sum(bank["valid"].astype(jnp.int32)) < size
 
     def body(i, bank):
         count = jnp.sum(bank["valid"].astype(jnp.int32))
@@ -89,9 +114,10 @@ def write_similarity_bank(bank, feats: jnp.ndarray, iou: jnp.ndarray,
             (new_sim_masked[min_idx] < pair_sim[min_idx, max_idx])
             & (iou > bank["iou"][max_idx] - 0.1)
         )
-        # append slot when not full, else the replacement target (if allowed)
-        slot = jnp.where(count < K, count, max_idx)
-        do_write = (count < K) | should_replace
+        # append while in (pre-batch) append mode, else the replacement
+        # target (if allowed); count is capped by K static slots
+        slot = jnp.where(append_mode, jnp.minimum(count, K - 1), max_idx)
+        do_write = (append_mode & (count < K)) | ((~append_mode) & should_replace)
 
         def write(bank):
             return {

@@ -153,3 +153,49 @@ class Profiler:
         if self._active:
             jax.profiler.stop_trace()
             self._active = False
+
+
+class ScalarWriter:
+    """Per-step scalar-curve writer: one JSONL line per ``add_scalar`` call
+    plus a rolling per-tag CSV, written under the run's Log dir.
+
+    The reference creates a tensorboardX ``SummaryWriter`` in both CLIs
+    (``train_3d.py:75``, ``train_2d.py:93``); this is the dependency-free
+    counterpart — curves land in ``scalars.jsonl`` (every event) and
+    ``curve_<tag>.csv`` (step,value pairs per tag) so runs can be plotted or
+    diffed without tensorboard."""
+
+    def __init__(self, log_dir: str):
+        import json as _json
+
+        os.makedirs(log_dir, exist_ok=True)
+        self._json = _json
+        self._path = os.path.join(log_dir, "scalars.jsonl")
+        self._dir = log_dir
+        self._csv_files: Dict[str, object] = {}
+        self._f = open(self._path, "a", buffering=1)
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        value = float(value)
+        self._f.write(self._json.dumps(
+            {"tag": tag, "value": value, "step": int(step),
+             "time": time.time()}) + "\n")
+        cf = self._csv_files.get(tag)
+        if cf is None:
+            safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in tag)
+            cf = open(os.path.join(self._dir, f"curve_{safe}.csv"), "a",
+                      buffering=1)
+            if cf.tell() == 0:
+                cf.write("step,value\n")
+            self._csv_files[tag] = cf
+        cf.write(f"{int(step)},{value}\n")
+
+    def add_scalars(self, scalars: Dict[str, float], step: int) -> None:
+        for tag, v in scalars.items():
+            self.add_scalar(tag, v, step)
+
+    def close(self) -> None:
+        self._f.close()
+        for cf in self._csv_files.values():
+            cf.close()
+        self._csv_files.clear()

@@ -56,3 +56,46 @@ def test_batched_volumes_sharded_mesh():
     assert np.isfinite(np.asarray(out)).all()
     # the volume axis stays sharded over 'data'
     assert "data" in str(out.sharding.spec)
+
+
+def test_batched_bbox_multi_cond_parity_vs_predictor():
+    """2 conditioning frames + bbox prompts (the BTCV eval shape: a box every
+    prompt_freq frames, func_3d/function.py:98-127): the batched streaming path
+    matches the unbatched SAM2VideoPredictor on the same session."""
+    from medsam2_tpu.api.video_predictor import SAM2VideoPredictor
+
+    from medsam2_tpu.utils.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    params = sam2_init(jax.random.PRNGKey(0), TINY)
+    spec = mb.BankSpec.from_config(TINY, max_cond_frames=2)
+    T = 5
+    video, _ = moving_square_video(T=T)
+    # propagate_volumes_batched takes normalized frames; the predictor
+    # normalizes internally in init_state
+    video_norm = (video - IMAGENET_MEAN) / IMAGENET_STD
+
+    # bbox = 2 corner points with labels 2/3 per prompt frame (0 and 2)
+    boxes = {0: (8.0, 20.0, 24.0, 36.0), 2: (16.0, 20.0, 32.0, 36.0)}
+    coords = np.zeros((1, 2, 1, 2, 2), np.float32)
+    labels = np.zeros((1, 2, 1, 2), np.int32)
+    for i, f in enumerate(sorted(boxes)):
+        x1, y1, x2, y2 = boxes[f]
+        coords[0, i, 0] = [[x1, y1], [x2, y2]]
+        labels[0, i, 0] = [2, 3]
+
+    batched = propagate_volumes_batched(
+        params, TINY, spec, jnp.asarray(video_norm[None], jnp.float32),
+        jnp.asarray(coords),
+        jnp.asarray(labels), num_objects=1, prompt_frames=(0, 2))
+    assert batched.shape == (1, T, 1, 1, 16, 16)
+
+    pred = SAM2VideoPredictor(params, TINY, max_cond_frames=2)
+    state = pred.init_state(images=video)
+    for f, (x1, y1, x2, y2) in boxes.items():
+        pred.add_new_bbox(state, frame_idx=f, obj_id=1,
+                          bbox=np.array([[x1, y1], [x2, y2]], np.float32),
+                          normalize_coords=False)
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == list(range(T))
+    np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(masks),
+                               atol=2e-3, rtol=1e-3)

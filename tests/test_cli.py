@@ -45,6 +45,10 @@ def test_train_3d_cli_synthetic(tmp_path):
     assert params is not None
     ckpts = glob.glob(str(tmp_path / "*" / "Model" / "step_*"))
     assert ckpts, "no checkpoint written"
+    # per-step/epoch scalar curves land in the run dir (ScalarWriter)
+    jl = glob.glob(str(tmp_path / "*" / "Log" / "scalars.jsonl"))
+    assert jl and any("train/" in ln for ln in open(jl[0]))
+    assert glob.glob(str(tmp_path / "*" / "Log" / "curve_*.csv"))
 
 
 @pytest.mark.slow
@@ -116,3 +120,50 @@ def test_nuclei_inference_engine(rng):
     assert inst.shape == (64, 64)
     assert inst.dtype == np.int32
     assert inst.min() >= 0
+
+
+def test_nuclei_merge_semantics():
+    """merge_instances reproduces the reference merge stages
+    (func_2d/function.py:575-627): per-point keep-best, box NMS, and the
+    reversed-order any-overlap-skips paint rule."""
+    from medsam2_tpu.api.nuclei_inference import merge_instances
+
+    H = W = 32
+
+    def box_mask(x1, y1, x2, y2):
+        m = np.zeros((H, W), bool)
+        m[y1:y2, x1:x2] = True
+        return m
+
+    # same point decoded in two overlapping crops -> keep-best drops the
+    # lower-scoring duplicate even though their boxes would survive NMS
+    masks = [box_mask(2, 2, 8, 8), box_mask(3, 3, 9, 9), box_mask(20, 20, 26, 26)]
+    boxes = np.array([[2, 2, 8, 8], [3, 3, 9, 9], [20, 20, 26, 26]], np.float32)
+    scores = np.array([0.9, 0.4, 0.8], np.float32)
+    pids = np.array([7, 7, 3])
+    inst = merge_instances(masks, scores, boxes, pids, (H, W), mask_nms_thresh=0.99)
+    assert len(np.unique(inst)) == 3          # bg + 2 instances
+    assert inst[4, 4] > 0 and inst[8, 8] == 0  # the 0.9 duplicate won
+
+    # reversed paint: lower-score instance paints first; a higher-score mask
+    # touching any painted pixel is skipped entirely (not clipped)
+    masks = [box_mask(2, 2, 12, 12), box_mask(10, 10, 20, 20)]
+    boxes = np.array([[2, 2, 12, 12], [10, 10, 20, 20]], np.float32)
+    scores = np.array([0.9, 0.5], np.float32)
+    pids = np.array([0, 1])
+    inst = merge_instances(masks, scores, boxes, pids, (H, W), mask_nms_thresh=0.99)
+    # the 0.5 mask (reversed order: painted first) holds its full extent; the
+    # overlapping 0.9 mask is skipped because one of its pixels is taken
+    assert inst[15, 15] > 0
+    assert inst[4, 4] == 0
+
+
+def test_nuclei_drop_points_in_processed_boxes():
+    from medsam2_tpu.api.nuclei_inference import drop_points_in_processed_boxes
+
+    pts = np.array([[5.0, 5.0],    # strictly inside the processed box
+                    [0.0, 5.0],    # on the box edge -> kept (interior test)
+                    [30.0, 30.0]], np.float32)
+    keep = drop_points_in_processed_boxes(pts, [(0, 0, 16, 16)])
+    assert keep.tolist() == [False, True, True]
+    assert drop_points_in_processed_boxes(pts, []).all()

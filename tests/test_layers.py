@@ -217,3 +217,47 @@ def test_conv3s2_wfold_matches_direct():
             b = layers.conv3s2_wfold(p, x, fold=fold)
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_flash_attention_grads_match_xla(rng):
+    """Custom-VJP backward (kv-chunked recompute) vs autodiff through the XLA
+    SDPA, fp32 (tight) and bf16 (loose — bf16 dots with fp32 accumulation)."""
+    from medsam2_tpu.ops import attention as attn_mod
+    import functools
+    from jax.experimental import pallas as pl
+
+    q0 = rng.standard_normal((1, 2, 128, 64)).astype(np.float32)
+    k0 = rng.standard_normal((1, 2, 256, 64)).astype(np.float32)
+    v0 = rng.standard_normal((1, 2, 256, 64)).astype(np.float32)
+    mask = jnp.asarray(rng.random(256) > 0.3)[None, :]
+    w = jnp.asarray(rng.standard_normal((1, 2, 128, 64)).astype(np.float32))
+
+    def run(dtype, tol):
+        q, k, v = (jnp.asarray(a, dtype) for a in (q0, k0, v0))
+
+        def loss_flash(q, k, v):
+            out = attn_mod.flash_attention(q, k, v, kv_mask=mask,
+                                           block_q=64, block_k=128)
+            return jnp.sum(out.astype(jnp.float32) * w)
+
+        def loss_xla(q, k, v):
+            out = attn_mod.sdpa_xla(q, k, v, kv_mask=mask)
+            return jnp.sum(out.astype(jnp.float32) * w)
+
+        orig = pl.pallas_call
+        with jax.disable_jit():
+            try:
+                pl.pallas_call = functools.partial(orig, interpret=True)
+                g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+            finally:
+                pl.pallas_call = orig
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+            gf = np.asarray(gf, np.float32)
+            gx = np.asarray(gx, np.float32)
+            scale = max(np.abs(gx).max(), 1e-3)
+            assert np.abs(gf - gx).max() / scale < tol, (
+                f"{dtype} grad d{name}: {np.abs(gf - gx).max() / scale:.2e}")
+
+    run(jnp.float32, 5e-5)
+    run(jnp.bfloat16, 4e-2)

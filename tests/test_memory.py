@@ -194,3 +194,44 @@ def test_memory_encoder_shapes(rng):
     feats, pos = mem.memory_encoder_apply(params, cfg, pix, masks)
     assert feats.shape == (2, 4, 4, 64)
     assert pos.shape == (4, 4, 64)
+
+
+def test_kcache_layer_equivalence(rng):
+    """The roped-key cache path (write-time projected+rotated memory keys +
+    session-static positional keys) must reproduce the direct path:
+    rope(Wk(mem + pos) + b) == rope(Wk mem) + rope(Wk pos + b) by linearity of
+    the rotation."""
+    cfg = MemoryAttentionConfig(d_model=32, num_layers=2, dim_feedforward=64,
+                                kv_in_dim=8, rope_feat_sizes=(4, 4))
+    params = mem.memory_attention_init(jax.random.PRNGKey(0), cfg)
+    B, N = 1, 16  # 4x4 q grid
+    Fa, P = 2, N  # two memory frames of P spatial tokens
+    n_ptr = 8
+    curr = jnp.asarray(rng.standard_normal((B, N, 32)).astype(np.float32))
+    curr_pos = jnp.asarray(rng.standard_normal((B, N, 32)).astype(np.float32))
+    mem_sp = jnp.asarray(rng.standard_normal((B, Fa, P, 8)).astype(np.float32))
+    pos_sp = jnp.asarray(rng.standard_normal((Fa, P, 8)).astype(np.float32))
+    ptr = jnp.asarray(rng.standard_normal((B, n_ptr, 8)).astype(np.float32))
+    memory = jnp.concatenate([mem_sp.reshape(B, Fa * P, 8), ptr], axis=1)
+    mpos = jnp.concatenate(
+        [jnp.broadcast_to(pos_sp.reshape(1, Fa * P, 8), (B, Fa * P, 8)),
+         jnp.zeros((B, n_ptr, 8))], axis=1)
+    valid = jnp.ones((B, Fa * P + n_ptr), bool)
+
+    direct = mem.memory_attention_apply(
+        params, cfg, curr, memory, curr_pos, mpos,
+        q_hw=(4, 4), num_obj_ptr_tokens=n_ptr, kv_mask=valid)
+
+    # cache halves, fp32 so the comparison is tight
+    mem_part = jnp.stack(
+        [mem.precompute_memory_kcache(params, cfg, mem_sp[:, f], (4, 4),
+                                      dtype=jnp.float32)
+         for f in range(Fa)], axis=1)                     # [B, Fa, L, P, C]
+    pos_part = mem.precompute_pos_kcache(params, cfg, pos_sp, (4, 4),
+                                         dtype=jnp.float32)  # [Fa, L, P, C]
+    cached = mem.memory_attention_apply(
+        params, cfg, curr, memory, curr_pos, mpos,
+        q_hw=(4, 4), num_obj_ptr_tokens=n_ptr, kv_mask=valid,
+        k_cache=(mem_part, pos_part))
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(direct),
+                               rtol=2e-4, atol=2e-5)

@@ -176,3 +176,110 @@ def test_video_predictor_reset_and_reverse(tiny_params):
     assert masks.shape == (4, 1, 1, 16, 16)
     pred.reset_state(state)
     assert state["obj_ids"] == []
+
+
+def test_max_cond_frames_in_attn_caps_bank(tiny_params):
+    """configs.max_cond_frames_in_attn bounds the cond slots the bank (and so
+    memory attention) pays for, reproducing the reference's top-k closest
+    cond-frame cap (sam2_base.py:516-528)."""
+    import dataclasses
+    from medsam2_tpu.state import memory_bank as mb
+
+    cfg = dataclasses.replace(TINY, max_cond_frames_in_attn=2)
+    pred = SAM2VideoPredictor(tiny_params, cfg, max_cond_frames=8)
+    video, _ = moving_square_video(T=6)
+    state = pred.init_state(images=video)
+    for f in (0, 2, 4):
+        pred.add_new_points(state, frame_idx=f, obj_id=1,
+                            points=np.array([[16.0, 28.0]]),
+                            labels=np.array([1]))
+    spec = pred._session_spec(state)
+    assert spec.max_cond_frames == 2
+    assert mb.BankSpec.from_config(cfg, max_cond_frames=8).max_cond_frames == 2
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert masks.shape[0] == 6
+
+
+def test_correction_frames_noncond_vs_cond(tiny_params):
+    """add_all_frames_to_correct_as_cond: with the default (False) a prompt on
+    an already-tracked frame is processed in preflight but its memory goes to
+    the non-cond ring; with True it becomes a conditioning frame
+    (sam2_video_predictor.py:292-341)."""
+    import dataclasses
+
+    video, _ = moving_square_video(T=6)
+
+    # default False: correction stays non-cond
+    pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
+    state = pred.init_state(images=video)
+    pred.add_new_points(state, frame_idx=0, obj_id=1,
+                        points=np.array([[16.0, 28.0]]), labels=np.array([1]))
+    pred.propagate_in_video_batch(state)
+    pred.add_new_points(state, frame_idx=3, obj_id=1,
+                        points=np.array([[28.0, 28.0]]), labels=np.array([1]))
+    assert state["cond_frame_idx"] == {0}
+    assert state["noncond_prompt_frame_idx"] == {3}
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == [0, 1, 2, 3, 4, 5]
+    assert masks.shape == (6, 1, 1, 16, 16)
+    # the corrected frame's output is the prompt-step output, not a tracked one
+    _, _, preview = pred._preview(state, 3)
+    np.testing.assert_allclose(np.asarray(masks[3]), preview, rtol=1e-4, atol=1e-5)
+
+    # True: correction becomes a cond frame
+    cfg_cond = dataclasses.replace(TINY, add_all_frames_to_correct_as_cond=True)
+    pred2 = SAM2VideoPredictor(tiny_params, cfg_cond, max_cond_frames=2)
+    state2 = pred2.init_state(images=video)
+    pred2.add_new_points(state2, frame_idx=0, obj_id=1,
+                         points=np.array([[16.0, 28.0]]), labels=np.array([1]))
+    pred2.propagate_in_video_batch(state2)
+    pred2.add_new_points(state2, frame_idx=3, obj_id=1,
+                         points=np.array([[28.0, 28.0]]), labels=np.array([1]))
+    assert state2["cond_frame_idx"] == {0, 3}
+    assert state2["noncond_prompt_frame_idx"] == set()
+    frames2, masks2 = pred2.propagate_in_video_batch(state2)
+    assert masks2.shape == (6, 1, 1, 16, 16)
+
+
+def test_correction_memory_survives_ring_clobber(tiny_params):
+    """Full re-propagation across a corrected frame restores the correction's
+    ring-slot memory even when an earlier frame shares the slot (the segmented
+    scan re-writes it; the reference's per-frame dict never collides)."""
+    from medsam2_tpu.state import memory_bank as mb
+
+    T = 10
+    video, _ = moving_square_video(T=T)
+    pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
+    state = pred.init_state(images=video)
+    pred.add_new_points(state, frame_idx=0, obj_id=1,
+                        points=np.array([[16.0, 28.0]]), labels=np.array([1]))
+    pred.propagate_in_video_batch(state)
+    corr = 8
+    spec = pred._session_spec(state)
+    assert corr >= spec.noncond_ring  # frame corr-ring shares its slot
+    pred.add_new_points(state, frame_idx=corr, obj_id=1,
+                        points=np.array([[40.0, 28.0]]), labels=np.array([1]))
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == list(range(T))
+    assert masks.shape == (T, 1, 1, 16, 16)
+    assert np.all(np.isfinite(np.asarray(masks)))
+
+
+def test_kcache_propagation_matches_uncached(tiny_params):
+    """The roped-key cache (write-time k projection + RoPE) must not change
+    propagation outputs (fp32: tight tolerance — only summation order
+    differs)."""
+    video, _ = moving_square_video(T=6)
+    outs = {}
+    for flag in (True, False):
+        pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2,
+                                  use_kcache=flag)
+        state = pred.init_state(images=video)
+        pred.add_new_points(state, frame_idx=0, obj_id=1,
+                            points=np.array([[16.0, 28.0]]), labels=np.array([1]))
+        pred.add_new_points(state, frame_idx=2, obj_id=1,
+                            points=np.array([[24.0, 28.0]]), labels=np.array([1]))
+        _, masks = pred.propagate_in_video_batch(state)
+        outs[flag] = np.asarray(masks)
+    assert outs[True].shape == outs[False].shape
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-3, atol=1e-4)

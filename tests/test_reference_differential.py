@@ -221,7 +221,7 @@ def ref_propagate(model, video01, prompts, frame_order, cond_frames, num_frames)
     obj_ptrs {frame: [B, C]})."""
     mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
     std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
-    B = next(iter(prompts.values()))[0].shape[0]
+    B = next(iter(prompts.values()))[1].shape[0]
 
     def get_feats(f):
         img = (torch.from_numpy(video01[f : f + 1]) - mean) / std
@@ -252,14 +252,21 @@ def _ref_propagate_inner(model, prompts, frame_order, cond_frames, num_frames,
     with torch.no_grad():
         for f in cond_frames:
             feats, pos, sizes = get_feats(f)
-            coords, labels = prompts[f]
+            prompt = prompts[f]
+            if prompt[0] == "mask":
+                point_inputs = None
+                mask_inputs = torch.from_numpy(prompt[1])[:, None].float()
+            else:
+                coords, labels = prompt[1], prompt[2]
+                point_inputs = {"point_coords": torch.from_numpy(coords),
+                                "point_labels": torch.from_numpy(labels)}
+                mask_inputs = None
             out = model.track_step(
                 frame_idx=f, is_init_cond_frame=True,
                 current_vision_feats=feats, current_vision_pos_embeds=pos,
                 feat_sizes=sizes,
-                point_inputs={"point_coords": torch.from_numpy(coords),
-                              "point_labels": torch.from_numpy(labels)},
-                mask_inputs=None, output_dict=output_dict,
+                point_inputs=point_inputs,
+                mask_inputs=mask_inputs, output_dict=output_dict,
                 num_frames=num_frames, run_mem_encoder=True)
             output_dict["cond_frame_outputs"][f] = out
             results[f] = out
@@ -299,16 +306,8 @@ def make_video(T=8, S=256, seed=0):
     return np.clip(video, 0, 1)
 
 
-def run_differential(cfg, seed=0, tol=2e-3):
-    T = 8
-    video = make_video(T=T, S=cfg.image_size, seed=seed)
-    params = sam2_init(jax.random.PRNGKey(seed), cfg)
-
-    ref = build_reference_model(cfg)
-    load_shared_weights(ref, params, cfg)
-
-    # 2 objects, 2 points each, prompted on frames 0 and 3
-    cond_frames = [0, 3]
+def default_prompts(cfg, cond_frames):
+    # 2 objects, 2 points each
     prompts = {}
     for f in cond_frames:
         sq_x = 40 + 12 * f + 35
@@ -318,7 +317,21 @@ def run_differential(cfg, seed=0, tol=2e-3):
             [[dc_x, 190], [sq_x, 115]],           # obj 1: disc click + negative on square
         ], np.float32)
         labels = np.array([[1, 1], [1, 0]], np.int32)
-        prompts[f] = (coords, labels)
+        prompts[f] = ("points", coords, labels)
+    return prompts
+
+
+def run_differential(cfg, seed=0, tol=2e-3, prompts=None, cond_frames=(0, 3),
+                     T=8):
+    video = make_video(T=T, S=cfg.image_size, seed=seed)
+    params = sam2_init(jax.random.PRNGKey(seed), cfg)
+
+    ref = build_reference_model(cfg)
+    load_shared_weights(ref, params, cfg)
+
+    cond_frames = list(cond_frames)
+    if prompts is None:
+        prompts = default_prompts(cfg, cond_frames)
 
     frame_order = list(range(T))
     ref_masks, ref_ptrs = ref_propagate(ref, video, prompts, frame_order,
@@ -327,10 +340,15 @@ def run_differential(cfg, seed=0, tol=2e-3):
     pred = SAM2VideoPredictor(params, cfg, fill_hole_area=0, non_overlap_masks=False)
     state = pred.val_init_state(video)  # [T, 3, S, S] in [0,1]
     for f in cond_frames:
-        coords, labels = prompts[f]
-        for o in range(coords.shape[0]):
-            pred.add_new_points(state, f, o, coords[o], labels[o],
-                                normalize_coords=False)
+        prompt = prompts[f]
+        if prompt[0] == "mask":
+            for o in range(prompt[1].shape[0]):
+                pred.add_new_mask(state, f, o, prompt[1][o])
+        else:
+            coords, labels = prompt[1], prompt[2]
+            for o in range(coords.shape[0]):
+                pred.add_new_points(state, f, o, coords[o], labels[o],
+                                    normalize_coords=False)
     order, masks = pred.propagate_in_video_batch(state)
     assert order == frame_order
     my_masks = np.asarray(masks, np.float32)
@@ -359,3 +377,70 @@ def test_differential_obj_ptr_tpos_enabled():
                            proj_tpos_enc_in_obj_ptrs=True,
                            memory_temporal_stride_for_eval=1)
     run_differential(cfg, seed=1)
+
+
+def test_differential_mask_prompt():
+    """Mask-prompt conditioning frames against the executed reference
+    (``sam2_base.py:412-462`` ``_use_mask_as_output``, incl. the
+    mask-downsample obj-ptr sub-path): frame 0 prompts both objects with
+    binary masks, frame 3 with clicks."""
+    cfg = make_diff_config()
+    S = cfg.image_size
+    yy, xx = np.mgrid[0:S, 0:S]
+    m = np.zeros((2, S, S), np.float32)
+    m[0, 80:150, 40:110] = 1.0                                  # square at t=0
+    m[1] = (((yy - 190) ** 2 + (xx - 60) ** 2) < 30 ** 2).astype(np.float32)
+    prompts = {0: ("mask", m)}
+    prompts[3] = default_prompts(cfg, [3])[3]
+    run_differential(cfg, seed=2, prompts=prompts, cond_frames=(0, 3))
+
+
+def test_differential_bbox_prompt():
+    """Bbox prompts (2-corner points labeled 2/3, the box path of
+    ``sam2_video_predictor.py:425-451`` / ``prompt_encoder.py``) against the
+    executed reference."""
+    cfg = make_diff_config()
+    prompts = {}
+    for f in (0, 3):
+        sq_x0 = 40 + 12 * f
+        dc_x = 60 + 10 * f
+        coords = np.array([
+            [[sq_x0, 80], [sq_x0 + 70, 150]],          # obj 0: square bbox
+            [[dc_x - 30, 160], [dc_x + 30, 220]],      # obj 1: disc bbox
+        ], np.float32)
+        labels = np.array([[2, 3], [2, 3]], np.int32)
+        prompts[f] = ("points", coords, labels)
+    run_differential(cfg, seed=3, prompts=prompts, cond_frames=(0, 3))
+
+
+def test_differential_single_click_multimask():
+    """Single-click prompts: multimask output + best-IoU selection
+    (``sam2_base.py:376-383``) and the multimask-token obj-ptr path, against
+    the executed reference (eval-time dynamic stability args active)."""
+    cfg = make_diff_config()
+    prompts = {}
+    for f in (0, 3):
+        coords = np.array([
+            [[40 + 12 * f + 35, 115]],                 # obj 0: 1 click on square
+            [[60 + 10 * f, 190]],                      # obj 1: 1 click on disc
+        ], np.float32)
+        labels = np.array([[1], [1]], np.int32)
+        prompts[f] = ("points", coords, labels)
+    run_differential(cfg, seed=4, prompts=prompts, cond_frames=(0, 3))
+
+
+def test_differential_real_hiera_t_widths():
+    """One run at real hiera_t widths (embed 96 / d_model 256 / FFN 2048,
+    256 px, fp32): dtype/width bugs hide at tiny dims. Single object, 5 frames
+    to bound CPU cost; same 2e-3 rel pin."""
+    from medsam2_tpu.configs import sam2_hiera_t, MemoryAttentionConfig
+
+    cfg = sam2_hiera_t(
+        image_size=256, compute_dtype="float32",
+        memory_attention=MemoryAttentionConfig(rope_feat_sizes=(16, 16)),
+        binarize_mask_from_pts_for_mem_enc=True,
+        max_prompt_points=2)
+    coords = np.array([[[75, 115], [85, 120]]], np.float32)
+    labels = np.array([[1, 1]], np.int32)
+    prompts = {0: ("points", coords, labels)}
+    run_differential(cfg, seed=5, prompts=prompts, cond_frames=(0,), T=5)
