@@ -164,14 +164,32 @@ def _attention_block(bp, x, spec, q_stride):
     return layers.linear_apply(bp["proj"], out)
 
 
+# Fused Pallas window attention: measured NEGATIVE in context, so off by
+# default. Isolated per-block slope timing (scripts/sweep_fused_window.py,
+# incl. qkv/proj linears, hiera_t @1024) says the kernel wins at ws=4
+# (0.099 vs 0.290 ms) and ws=14 (0.173 vs 0.202), but inside the full
+# encoder graph the same ws=4 block balloons stage2 from 1.35 to 7.04 ms
+# (scripts/profile_encoder.py): XLA's layout assignment around the
+# pallas_call inserts relayouts of the [1, H, W, 3C] operands that dwarf
+# the attention itself. Until the kernel can consume XLA's preferred
+# layouts, the XLA partition/SDPA path stays.
+_FUSED_WINDOW_SIZES: tuple = ()
+
+
 def _use_fused_window(window_size: int, q_stride) -> bool:
-    # Fused kernel covers the plain windowed blocks; q-pooled and global
-    # blocks keep the XLA path. CPU keeps XLA so torch-parity tests pin the
-    # reference math directly (the kernel itself is interpret-tested).
+    # q-pooled and global blocks always keep the XLA path; CPU keeps XLA so
+    # torch-parity tests pin the reference math directly (the kernel itself
+    # is interpret-tested). MEDSAM2_FUSED_WINDOW=1 forces all eligible
+    # sizes (for sweeps); =0 disables even the default list.
+    import os
+
     import jax as _jax
 
-    return (window_size > 0 and q_stride is None
-            and _jax.default_backend() == "tpu")
+    mode = os.environ.get("MEDSAM2_FUSED_WINDOW", "auto")
+    if mode == "0":
+        return False
+    ws_ok = window_size in _FUSED_WINDOW_SIZES if mode != "1" else window_size > 0
+    return (ws_ok and q_stride is None and _jax.default_backend() == "tpu")
 
 
 def _block_apply(bp, x, spec):

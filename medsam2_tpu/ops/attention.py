@@ -172,7 +172,7 @@ def _flash_fwd(qf, kf, vf, maskf, scale, bq, bk):
     return out, (qf, kf, vf, maskf, out, lse)
 
 
-def _flash_bwd(scale, bq, bk, res, do):
+def _flash_bwd_xla(scale, bq, bk, res, do):
     """KV-chunked attention backward on the padded rank-3 layout.
 
     Recomputes P = exp(S*scale - lse) one kv chunk at a time (flash-style, so
@@ -221,6 +221,186 @@ def _flash_bwd(scale, bq, bk, res, do):
     dv = jnp.moveaxis(dvs, 0, 1).reshape(vf.shape)
     return (dq.astype(qf.dtype), dk.astype(kf.dtype), dv.astype(vf.dtype),
             jnp.zeros_like(maskf))
+
+
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, num_q_blocks):
+    """dK/dV pass: one kv block resident per (b, j); streams q blocks.
+
+    Everything is computed in the transposed-S form (S^T = K Q^T, [bk, bq])
+    so the per-q-row LSE and D vectors enter as lane-aligned [1, bq] rows —
+    no sublane/lane relayouts anywhere in the kernel."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]                              # [bq, D]
+    do = do_ref[0]                            # [bq, Dv]
+    k = k_ref[0]                              # [bk, D]  (masked rows pre-zeroed)
+    v = v_ref[0]                              # [bk, Dv]
+    lse = lse_ref[:]                          # [1, bq] fp32
+    dvec = dvec_ref[:]                        # [1, bq] fp32
+
+    sT = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    # exp(S - lse) <= 1 for valid entries (l >= 1); the clamp only tames
+    # masked/padded rows, whose contributions are killed by the zeroed K
+    # rows (dQ) and the post-kernel dK/dV mask.
+    pT32 = jnp.exp(jnp.minimum(sT - lse, 0.0))            # [bk, bq]
+    pT = pT32.astype(v.dtype)
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        pT, do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bk, Dv]
+    dpT = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [bk, bq]
+    dsT = (pT32 * (dpT - dvec)).astype(q.dtype)
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        dsT, q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bk, D]
+
+    @pl.when(i == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:] * scale
+        dv_ref[0] = dv_acc[:]
+
+
+def _bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref,
+                   dq_ref, dq_acc, *, scale, num_kv_blocks):
+    """dQ pass: one q block resident per (b, i); streams kv blocks.
+    Same transposed-S computation as the dKV pass; dQ = scale * dS^T-contract
+    with the (masked-zeroed) K rows."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    lse = lse_ref[:]
+    dvec = dvec_ref[:]
+
+    sT = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    pT32 = jnp.exp(jnp.minimum(sT - lse, 0.0))
+    dpT = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dsT = (pT32 * (dpT - dvec)).astype(k.dtype)
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        dsT, k, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bq, D]
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:] * scale
+
+
+def _flash_bwd_pallas(scale, bq, bk, res, do, interpret=False):
+    """Two-pass Pallas flash backward (dKV kernel + dQ kernel).
+
+    Recomputes P = exp(S - lse) inside each kernel, so no [Nq, Nk] tensor
+    ever reaches HBM (the XLA fallback materializes [BH, Nq, 512] prob
+    chunks per scan step — HBM-bandwidth-bound at training shapes). Masked
+    kv positions need no mask operand: K rows are pre-zeroed (killing their
+    dQ contribution exactly) and dK/dV are masked after the kernels.
+    """
+    qf, kf, vf, maskf, o, lse = res
+    f32 = jnp.float32
+    in_dt = qf.dtype
+    BH, Nq_p, Dp = qf.shape
+    Nk_p = kf.shape[1]
+    Dvp = vf.shape[2]
+    do_c = do.astype(in_dt)
+    mask_col = maskf[:, 0, :, None] > 0                    # [BH, Nk_p, 1]
+    kz = jnp.where(mask_col, kf, jnp.zeros((), in_dt))
+    dvec = jnp.sum(do.astype(f32) * o.astype(f32), axis=-1)  # [BH, Nq_p]
+    lse2 = lse.astype(f32)                                 # [BH, Nq_p]
+
+    # The fwd block sizes always divide the padded lengths; prefer 512-wide
+    # bwd blocks (scratch holds [bk, bq] fp32 tiles x3 plus two accumulators).
+    bqb = 512 if Nq_p % 512 == 0 else bq
+    bkb = 512 if Nk_p % 512 == 0 else bk
+    nI, nJ = Nq_p // bqb, Nk_p // bkb
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, num_q_blocks=nI),
+        grid=(BH, nJ, nI),
+        in_specs=[
+            pl.BlockSpec((1, bqb, Dp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bqb, Dvp), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bqb), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, bqb), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, bkb, Dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bkb, Dvp), lambda b, j, i: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkb, Dp), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bkb, Dvp), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Nk_p, Dp), f32),
+            jax.ShapeDtypeStruct((BH, Nk_p, Dvp), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkb, Dp), f32),
+            pltpu.VMEM((bkb, Dvp), f32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, do_c, lse2, dvec, kz, vf)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, num_kv_blocks=nJ),
+        grid=(BH, nI, nJ),
+        in_specs=[
+            pl.BlockSpec((1, bkb, Dp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bkb, Dvp), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bqb, Dp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bqb, Dvp), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bqb), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, bqb), lambda b, i, j: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bqb, Dp), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Nq_p, Dp), f32),
+        scratch_shapes=[pltpu.VMEM((bqb, Dp), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kz, vf, qf, do_c, lse2, dvec)
+
+    dk = jnp.where(mask_col, dk, 0.0)
+    dv = jnp.where(mask_col, dv, 0.0)
+    return (dq.astype(qf.dtype), dk.astype(kf.dtype), dv.astype(vf.dtype),
+            jnp.zeros_like(maskf))
+
+
+def _flash_bwd(scale, bq, bk, res, do):
+    """custom_vjp backward: Pallas kernels on TPU, XLA recompute elsewhere.
+    MEDSAM2_FLASH_BWD forces a path ("pallas" runs the kernels in interpret
+    mode off-TPU — used by the grad-parity tests)."""
+    import os
+
+    mode = os.environ.get("MEDSAM2_FLASH_BWD", "auto")
+    on_tpu = jax.default_backend() == "tpu"
+    if mode == "xla":
+        return _flash_bwd_xla(scale, bq, bk, res, do)
+    if mode == "pallas":
+        return _flash_bwd_pallas(scale, bq, bk, res, do, interpret=not on_tpu)
+    # The kernels need lane-aligned [1, block] LSE/D rows (512-wide bwd
+    # blocks); odd small shapes (only reachable via force="flash") keep the
+    # XLA path.
+    aligned = (res[0].shape[1] % 512 == 0 and res[1].shape[1] % 512 == 0)
+    if on_tpu and aligned:
+        return _flash_bwd_pallas(scale, bq, bk, res, do)
+    return _flash_bwd_xla(scale, bq, bk, res, do)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

@@ -44,6 +44,12 @@ class Recipe3DConfig:
     # multimask on prompt frames: True for single-click prompting, False for
     # bbox (2 points) — mirrors SAM2Base._use_multimask with the preset limits
     multimask_for_prompts: bool = False
+    # scan-body rematerialization: "enc_saved" saves the (frozen) encoder's
+    # output features by name so the backward never re-runs or differentiates
+    # the trunk (the reference's optimizers only train the mask decoder and
+    # the memory path, train_3d.py:34-46); "full" is the blanket-checkpoint
+    # fallback that recomputes the whole body.
+    remat: str = "enc_saved"
 
     @property
     def prompt_frames(self) -> Tuple[int, ...]:
@@ -136,12 +142,18 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
             # dummy keys carried through the scan but never used
             frame_keys = jnp.zeros((len(non_prompt_frames), 2), jnp.uint32)
 
-        @jax.checkpoint
         def body(bank, xs):
             frame_idx, frame_gt, fkey = xs
             frame = jax.lax.dynamic_index_in_dim(images, frame_idx, 0, keepdims=True)
             feats, pos = _encode_frame(params, frame, cfg=cfg,
                                        trunk_pos_embed=trunk_pe)
+            # Name the encoder outputs so the "enc_saved" remat policy keeps
+            # them: the trunk is frozen (no grads flow into it), so with its
+            # outputs saved the backward's recompute DCEs the encoder away
+            # entirely instead of re-running 55% of the forward.
+            from jax.ad_checkpoint import checkpoint_name
+            feats = [checkpoint_name(f, "enc_feats") for f in feats]
+            pos = [checkpoint_name(p, "enc_feats") for p in pos]
             feats, pos = _expand_to_objects(feats, pos, O)
             out, bank = sam2_model.track_step(
                 params, cfg, spec, bank, frame_idx,
@@ -154,6 +166,15 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
             )
             return bank, frame_loss(out["pred_masks_high_res"], frame_gt)
 
+        if rcfg.remat == "enc_saved":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names("enc_feats"),
+            )
+        elif rcfg.remat == "full":
+            body = jax.checkpoint(body)
+        elif rcfg.remat != "none":
+            raise ValueError(f"unknown remat policy {rcfg.remat!r}")
         _, losses = jax.lax.scan(body, bank, (frame_ids, gt_np, frame_keys))
         non_prompt_loss = jnp.sum(losses)
     else:
@@ -175,8 +196,17 @@ def make_train_step(cfg: SAM2Config, rcfg: Recipe3DConfig, tx):
     single forward, and applies the two-group optimizer update.
     """
     spec = mb.BankSpec.from_config(cfg, max_cond_frames=rcfg.max_cond_frames)
+    # Param groups the optimizers actually step (reference train_3d.py:34-46).
+    # Everything else is frozen: stop_gradient at the top so the backward has
+    # no cotangent path through the image encoder at all — together with the
+    # "enc_saved" remat policy this DCEs the trunk out of the backward pass
+    # (instead of recomputing ~55% of the forward per scan step).
+    trainable = {"sam_mask_decoder", "obj_ptr_proj", "memory_encoder",
+                 "memory_attention", "mask_downsample"}
 
     def losses_fn(params, batch, key=None):
+        params = {k: (v if k in trainable else jax.lax.stop_gradient(v))
+                  for k, v in params.items()}
         if key is not None:
             n_vol = jax.tree_util.tree_leaves(batch)[0].shape[0]
             vol_keys = jax.random.split(key, n_vol)

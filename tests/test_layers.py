@@ -219,13 +219,16 @@ def test_conv3s2_wfold_matches_direct():
                                        atol=1e-5, rtol=1e-5)
 
 
-def test_flash_attention_grads_match_xla(rng):
-    """Custom-VJP backward (kv-chunked recompute) vs autodiff through the XLA
-    SDPA, fp32 (tight) and bf16 (loose — bf16 dots with fp32 accumulation)."""
+@pytest.mark.parametrize("bwd", ["xla", "pallas"])
+def test_flash_attention_grads_match_xla(rng, monkeypatch, bwd):
+    """Custom-VJP backward (XLA kv-chunked recompute AND the two-pass Pallas
+    kernels, forced via MEDSAM2_FLASH_BWD) vs autodiff through the XLA SDPA,
+    fp32 (tight) and bf16 (loose — bf16 dots with fp32 accumulation)."""
     from medsam2_tpu.ops import attention as attn_mod
     import functools
     from jax.experimental import pallas as pl
 
+    monkeypatch.setenv("MEDSAM2_FLASH_BWD", bwd)
     q0 = rng.standard_normal((1, 2, 128, 64)).astype(np.float32)
     k0 = rng.standard_normal((1, 2, 256, 64)).astype(np.float32)
     v0 = rng.standard_normal((1, 2, 256, 64)).astype(np.float32)

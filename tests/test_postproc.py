@@ -308,13 +308,16 @@ def test_flash_block_selection():
     assert _flash_blocks(4096, 4096) == (512, 1024)   # square self/global attn
 
 
-def test_flash_attention_gradients_match_xla(rng):
-    """custom_vjp (kv-chunked recompute from LSE) == autodiff through the
-    math SDPA, including kv masking and the low-rank Dv != D path."""
+@pytest.mark.parametrize("bwd", ["xla", "pallas"])
+def test_flash_attention_gradients_match_xla(rng, monkeypatch, bwd):
+    """custom_vjp (XLA kv-chunked recompute AND the two-pass Pallas kernels)
+    == autodiff through the math SDPA, including kv masking and the low-rank
+    Dv != D path at odd (non-512-aligned) block geometries."""
     import functools
     from jax.experimental import pallas as pl
     from medsam2_tpu.ops import attention as am
 
+    monkeypatch.setenv("MEDSAM2_FLASH_BWD", bwd)
     orig = pl.pallas_call
     pl.pallas_call = functools.partial(orig, interpret=True)
     try:
