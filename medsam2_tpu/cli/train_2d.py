@@ -12,6 +12,7 @@ Two workloads by ``-dataset``:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List
 
@@ -160,6 +161,7 @@ def train_nuclei(args, cfg, logger, paths):
     loader = DataLoader(train_ds, batch_size=args.b, shuffle=True, collate_fn=collate,
                         seed=args.seed)
     bank = _bank_for(cfg, rcfg.memory_bank_size)
+    args._sample_dir = paths.get("sample_path")  # for -vis eval dumps
     ml = MetricLogger()
     writer = ScalarWriter(paths["log_path"])
     any_written = False
@@ -208,6 +210,18 @@ def validate_nuclei(args, cfg, rcfg, params, val_ds, bank, key) -> Dict[str, flo
         pred_inst = predict_instances(params, cfg, rcfg, s, bank, sub)
         gt = remap_label(inst_map)
         pr = remap_label(pred_inst)
+        if getattr(args, "vis", False):
+            # agreement map + GT prompt points, as the reference's nuclei eval
+            # dumps per image (func_2d/function.py:663-665)
+            from medsam2_tpu.utils.visualization import (vis_compare_point,
+                                                         vis_inst_image)
+            sample_dir = getattr(args, "_sample_dir", None)
+            if sample_dir:
+                pts = s.get("points_all")
+                vis_compare_point(pr > 0, gt > 0, pts,
+                                  os.path.join(sample_dir, f"val{i}_compare.png"))
+                vis_inst_image(s["image"], pr,
+                               os.path.join(sample_dir, f"val{i}_inst.png"))
         tot["dice1"] += get_dice_1(gt, pr)
         tot["aji"] += get_fast_aji(gt, pr) if gt.max() and pr.max() else 0.0
         (dq, sq, pq), _ = get_fast_pq(gt, pr)

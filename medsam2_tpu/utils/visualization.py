@@ -59,6 +59,54 @@ def vis_image(image: np.ndarray, pred_mask: np.ndarray, gt_mask: np.ndarray,
     plt.close(fig)
 
 
+def compare_color(pred_mask: np.ndarray, gt_mask: np.ndarray) -> np.ndarray:
+    """Agreement coloring (``func_2d/utils.py:381-399`` ``compare_and_color``):
+    black = both background, green = both foreground, red = false positive,
+    blue = false negative. Returns uint8 RGB [H, W, 3]."""
+    p = np.asarray(pred_mask).squeeze() > 0
+    g = np.asarray(gt_mask).squeeze() > 0
+    out = np.zeros((*p.shape, 3), np.uint8)
+    out[p & ~g] = (255, 0, 0)
+    out[~p & g] = (0, 0, 255)
+    out[p & g] = (0, 255, 0)
+    return out
+
+
+def draw_points(img: np.ndarray, points: np.ndarray,
+                color=(255, 255, 255), radius: int = 3) -> np.ndarray:
+    """Paint filled discs at (x, y) points on a uint8 RGB image (the cv2.circle
+    loop in ``func_2d/utils.py:417-440``, dependency-free)."""
+    out = np.asarray(img).copy()
+    h, w = out.shape[:2]
+    dy, dx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    disc = (dy * dy + dx * dx) <= radius * radius
+    for pt in np.asarray(points, np.float64).reshape(-1, 2):
+        x, y = int(round(pt[0])), int(round(pt[1]))
+        if not (0 <= x < w and 0 <= y < h):
+            continue
+        ys, xs = y + dy[disc], x + dx[disc]
+        ok = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+        out[ys[ok], xs[ok]] = color
+    return out
+
+
+def vis_compare_point(pred_mask: np.ndarray, gt_mask: np.ndarray,
+                      points: Optional[np.ndarray], save_path: str) -> None:
+    """Pred/GT agreement map with the prompt points painted on top
+    (``func_2d/utils.py:417-441`` ``vis_compare_point`` /
+    ``visualize_points_on_images`` semantics)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = compare_color(pred_mask, gt_mask)
+    if points is not None:
+        img = draw_points(img, points)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    plt.imsave(save_path, img)
+
+
 def vis_inst_image(image: np.ndarray, inst_map: np.ndarray, save_path: str,
                    points: Optional[np.ndarray] = None) -> None:
     """Instance-map overlay dump (``vis_inst_image`` semantics)."""

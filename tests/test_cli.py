@@ -167,3 +167,24 @@ def test_nuclei_drop_points_in_processed_boxes():
     keep = drop_points_in_processed_boxes(pts, [(0, 0, 16, 16)])
     assert keep.tolist() == [False, True, True]
     assert drop_points_in_processed_boxes(pts, []).all()
+
+
+def test_validate_nuclei_vis_dumps(tmp_path, rng, monkeypatch):
+    """-vis wiring: validation writes the agreement-map + instance dumps per
+    sample (reference func_2d/function.py:663-665), without running the heavy
+    inference engine."""
+    import types
+    import medsam2_tpu.api.nuclei_inference as ni
+    from medsam2_tpu.cli.train_2d import validate_nuclei
+    from medsam2_tpu.data.synthetic import synthetic_nuclei
+    import jax
+
+    sample = synthetic_nuclei(rng, size=64, num_cells=4)
+    monkeypatch.setattr(ni, "predict_instances",
+                        lambda *a, **k: sample["inst_map"])
+    args = types.SimpleNamespace(vis=True, _sample_dir=str(tmp_path))
+    scores = validate_nuclei(args, None, None, None, [sample], None,
+                             jax.random.PRNGKey(0))
+    assert scores["dice1"] == pytest.approx(1.0)
+    assert (tmp_path / "val0_compare.png").exists()
+    assert (tmp_path / "val0_inst.png").exists()
