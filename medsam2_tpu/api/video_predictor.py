@@ -67,6 +67,11 @@ class SAM2VideoPredictor:
             static_argnames=("spec", "is_eval", "num_frames", "track_in_reverse",
                              "return_bank"),
         )
+        self._scan_run = jax.jit(
+            functools.partial(_scan_track_run, cfg=cfg),
+            static_argnames=("spec", "is_eval", "num_frames",
+                             "track_in_reverse"),
+        )
 
     def _session_spec(self, state) -> mb.BankSpec:
         """Bank spec sized to the session's prompt count (capped at the
@@ -366,57 +371,52 @@ class SAM2VideoPredictor:
         if not order:
             return [], jnp.zeros((0, B, 1, 1, 1))
 
-        is_cond = np.array([f in cond_outputs for f in order])
-        h4 = self.cfg.low_res_mask_size
-        stored = np.zeros((len(order), B, 1, h4, h4), np.float32)
-        for i, f in enumerate(order):
-            if f in cond_outputs:
-                stored[i] = np.asarray(cond_outputs[f], np.float32)
-
         images = self._session_images(state)
         kw = dict(spec=spec, is_eval=state["is_eval"], num_frames=num_frames,
                   track_in_reverse=reverse)
-        corr_positions = [i for i, f in enumerate(order) if f in corr_mem]
-        if not corr_positions:
-            masks = self._scan_track(
-                self.params, images, bank, jnp.asarray(order, jnp.int32),
-                jnp.asarray(is_cond), jnp.asarray(stored), pos_kcache, **kw)
-            return order, masks
 
-        # Segment the scan at correction frames: the scan's reuse branch does
-        # not write memory, and an earlier frame sharing the ring slot
-        # (frame % noncond_ring) would clobber the preflight-written correction
-        # memory before the scan reaches it — so run up to each correction
-        # frame, restore its memory host-side, and continue. Corrections are
-        # rare interactive events; segments stay scan-sized.
+        # The cond/correction split is host-static, so partition the order
+        # into maximal non-cond runs (branch-free scans, no wasted cond-frame
+        # encodes) and splice stored prompt-frame masks between them. At a
+        # correction frame, additionally restore its preflight-written memory
+        # into the non-cond ring: an earlier frame sharing the ring slot
+        # (frame % noncond_ring) would have clobbered it before the scan got
+        # there (the reference's unbounded per-frame dict never collides,
+        # sam2_video_predictor.py:1092-1096).
         seg_masks = []
-        start = 0
-        for i in corr_positions:
-            seg = order[start:i + 1]
-            if seg:
-                m, bank = self._scan_track(
-                    self.params, images, bank, jnp.asarray(seg, jnp.int32),
-                    jnp.asarray(is_cond[start:i + 1]),
-                    jnp.asarray(stored[start:i + 1]), pos_kcache,
-                    return_bank=True, **kw)
+        run: list = []
+
+        def flush_run():
+            nonlocal bank
+            if run:
+                m, bank = self._scan_run(
+                    self.params, images, bank,
+                    jnp.asarray(run, jnp.int32), pos_kcache, **kw)
                 seg_masks.append(m)
-            feats_f, ptr_f = corr_mem[order[i]]
-            kcache_f = None
-            if "cond_kcache" in bank:
-                from medsam2_tpu.core.memory import precompute_memory_kcache
-                mem_h = self.cfg.sam_image_embedding_size
-                kcache_f = precompute_memory_kcache(
-                    self.params["memory_attention"], self.cfg.memory_attention,
-                    feats_f, (mem_h, mem_h), dtype=bank["cond_kcache"].dtype)
-            bank = mb.write_bank(spec, bank, jnp.asarray(order[i], jnp.int32),
-                                 feats_f, ptr_f, is_cond=False, kcache=kcache_f)
-            start = i + 1
-        if start < len(order):
-            m = self._scan_track(
-                self.params, images, bank, jnp.asarray(order[start:], jnp.int32),
-                jnp.asarray(is_cond[start:]), jnp.asarray(stored[start:]),
-                pos_kcache, **kw)
-            seg_masks.append(m)
+                run.clear()
+
+        for f in order:
+            if f not in cond_outputs:
+                run.append(f)
+                continue
+            flush_run()
+            seg_masks.append(
+                jnp.asarray(cond_outputs[f], jnp.float32)[None])
+            if f in corr_mem:
+                feats_f, ptr_f = corr_mem[f]
+                kcache_f = None
+                if "cond_kcache" in bank:
+                    from medsam2_tpu.core.memory import precompute_memory_kcache
+                    mem_h = self.cfg.sam_image_embedding_size
+                    kcache_f = precompute_memory_kcache(
+                        self.params["memory_attention"],
+                        self.cfg.memory_attention,
+                        feats_f, (mem_h, mem_h),
+                        dtype=bank["cond_kcache"].dtype)
+                bank = mb.write_bank(spec, bank, jnp.asarray(f, jnp.int32),
+                                     feats_f, ptr_f, is_cond=False,
+                                     kcache=kcache_f)
+        flush_run()
         return order, jnp.concatenate(seg_masks, axis=0)
 
     # ------------------------------------------------------------------
@@ -553,6 +553,46 @@ def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
     return out, bank
 
 
+def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,
+                    cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool,
+                    num_frames: int, track_in_reverse: bool):
+    """Branch-free ``lax.scan`` over a run of consecutive NON-cond frames.
+
+    The cond/non-cond split is host-static (prompt frames are recorded in the
+    session state), so the propagation loop never needs a per-frame
+    ``lax.cond``: the caller partitions the frame order into maximal non-cond
+    runs and splices stored cond-frame masks between them. This both removes
+    the select machinery from the scan body and skips the (discarded) encoder
+    pass the unified body paid on every cond frame. Returns
+    (low-res mask logits [L, B, 1, h4, w4], bank).
+    """
+    B = bank["cond_feats"].shape[0]
+    from medsam2_tpu.core.hiera import _get_pos_embed
+    S = images.shape[1]
+    trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
+
+    def body(bank, frame_idx):
+        frame = jax.lax.dynamic_index_in_dim(images, frame_idx, 0, keepdims=True)
+        feats, pos = _encode_frame(params, frame, cfg=cfg,
+                                   trunk_pos_embed=trunk_pe)
+        feats, pos = _expand_to_objects(feats, pos, B)
+        out, bank = sam2_model.track_step(
+            params, cfg, spec, bank, frame_idx,
+            is_init_cond_frame=False,
+            current_vision_feats=feats, current_vision_pos=pos,
+            point_inputs=None, mask_inputs=None,
+            multimask_output=sam2_model.use_multimask(cfg, False, 0),
+            run_mem_encoder=True, is_cond_frame=False,
+            track_in_reverse=track_in_reverse,
+            num_frames=num_frames, is_eval=is_eval,
+            pos_kcache=pos_kcache,
+        )
+        return bank, out["pred_masks"].astype(jnp.float32)
+
+    bank, masks = jax.lax.scan(body, bank, frame_order)
+    return masks, bank
+
+
 def _scan_track(params, images, bank, frame_order, is_cond, stored_masks,
                 pos_kcache=None, *,
                 cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool,
@@ -561,6 +601,10 @@ def _scan_track(params, images, bank, frame_order, is_cond, stored_masks,
     """lax.scan over frames: track each non-cond frame with memory, reuse
     stored outputs on cond frames. Returns low-res mask logits
     [T_out, B, 1, h4, w4].
+
+    Kept for dynamic ``is_cond`` callers and the ``encode_chunk`` experiment;
+    the predictor's eval path uses the segmented ``_scan_track_run`` (the
+    cond split is host-static there).
 
     ``encode_chunk > 0`` pre-encodes frames in batched chunks before the
     memory-dependent scan (the encoder has no cross-frame dependency).
@@ -677,7 +721,7 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
     def one_volume(video, coords, labels):
         bank = mb.init_bank(spec, num_objects, kcache_shape=kshape,
                             kcache_dtype=sam2_model.kcache_dtype(cfg))
-        stored = jnp.zeros((T, num_objects, 1, h4, h4), jnp.float32)
+        cond_masks = {}
         for i, f in enumerate(prompt_frames):
             out, bank = _prompt_step(
                 params, video, bank, jnp.int32(f), coords[i], labels[i],
@@ -686,35 +730,40 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
                 jnp.zeros((num_objects,), bool),
                 cfg=cfg, spec=spec, multimask_output=False, is_eval=True,
                 num_frames=T)
-            stored = stored.at[f].set(out["pred_masks"].astype(jnp.float32))
+            cond_masks[f] = out["pred_masks"].astype(jnp.float32)
 
-        def body(bank, xs):
-            frame_idx, cond_flag, stored_f = xs
+        def body(bank, frame_idx):
             frame = jax.lax.dynamic_index_in_dim(video, frame_idx, 0, keepdims=True)
             feats, pos = _encode_frame(params, frame, cfg=cfg,
                                        trunk_pos_embed=trunk_pe)
             feats, pos = _expand_to_objects(feats, pos, num_objects)
+            o, bank = sam2_model.track_step(
+                params, cfg, spec, bank, frame_idx,
+                is_init_cond_frame=False,
+                current_vision_feats=feats, current_vision_pos=pos,
+                multimask_output=sam2_model.use_multimask(cfg, False, 0),
+                run_mem_encoder=True, is_cond_frame=False,
+                num_frames=T, is_eval=True, pos_kcache=pos_kcache)
+            return bank, o["pred_masks"].astype(jnp.float32)
 
-            def tracked(bank):
-                o, bank = sam2_model.track_step(
-                    params, cfg, spec, bank, frame_idx,
-                    is_init_cond_frame=False,
-                    current_vision_feats=feats, current_vision_pos=pos,
-                    multimask_output=sam2_model.use_multimask(cfg, False, 0),
-                    run_mem_encoder=True, is_cond_frame=False,
-                    num_frames=T, is_eval=True, pos_kcache=pos_kcache)
-                return o["pred_masks"].astype(jnp.float32), bank
-
-            def reuse(bank):
-                return stored_f, bank
-
-            masks, bank = jax.lax.cond(cond_flag, reuse, tracked, bank)
-            return bank, masks
-
-        _, masks = jax.lax.scan(
-            body, bank,
-            (jnp.arange(T, dtype=jnp.int32), jnp.asarray(is_cond), stored))
-        return masks
+        # prompt frames are static: partition [0, T) into maximal non-cond
+        # runs (branch-free scans) and splice the preflight masks between them
+        seg_masks = []
+        run = []
+        for f in range(T):
+            if is_cond[f]:
+                if run:
+                    bank, m = jax.lax.scan(body, bank,
+                                           jnp.asarray(run, jnp.int32))
+                    seg_masks.append(m)
+                    run = []
+                seg_masks.append(cond_masks[f][None])
+            else:
+                run.append(f)
+        if run:
+            _, m = jax.lax.scan(body, bank, jnp.asarray(run, jnp.int32))
+            seg_masks.append(m)
+        return jnp.concatenate(seg_masks, axis=0)
 
     return jax.vmap(one_volume)(videos, prompt_coords, prompt_labels)
 

@@ -449,8 +449,13 @@ def flash_attention(q, k, v, kv_mask=None, scale=None, block_q=512, block_k=512)
 def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    # Flash pays off for long sequences; tiny decoder/window attentions stay on XLA.
-    return q_len >= 2048 and kv_len >= 2048 and head_dim >= 64
+    # Flash pays off for long sequences; tiny decoder/window attentions stay
+    # on XLA. Gate at 1024: the 512-px streaming memory cross-attention
+    # (q=1024, kv~7.2k, d256/dv64) runs 127 TF/s with 1024/1024 blocks
+    # (scripts/profile_crossattn_512.py) while the XLA path was previously
+    # below the measurement floor — and the 4096^2 d96 encoder shape already
+    # needed flash (XLA SDPA collapses to ~13 TF/s on logits traffic).
+    return q_len >= 1024 and kv_len >= 1024 and head_dim >= 64
 
 
 def _flash_blocks(q_len: int, kv_len: int, dv: int = 0, itemsize: int = 4):
@@ -462,9 +467,17 @@ def _flash_blocks(q_len: int, kv_len: int, dv: int = 0, itemsize: int = 4):
     blocks (512/1024)."""
     if kv_len >= 2 * q_len:
         if dv and dv <= 128 and itemsize <= 2:
-            return 2048, 1024   # only fits VMEM for 2-byte inputs
-        return 2048, 512
-    return 512, 1024
+            bq, bk = 2048, 1024   # only fits VMEM for 2-byte inputs
+        else:
+            bq, bk = 2048, 512
+    else:
+        bq, bk = 512, 1024
+    # never pad a sequence past its 512-aligned length just to fill a block
+    # (q=1024 with bq=2048 would double the q work; measured best there is
+    # 1024/1024 — scripts/profile_crossattn_512.py)
+    bq = min(bq, max(512, -(-q_len // 512) * 512))
+    bk = min(bk, max(512, -(-kv_len // 512) * 512))
+    return bq, bk
 
 
 def attention(q, k, v, kv_mask=None, scale=None, force: Optional[str] = None):

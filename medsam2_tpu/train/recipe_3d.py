@@ -50,6 +50,13 @@ class Recipe3DConfig:
     # the memory path, train_3d.py:34-46); "full" is the blanket-checkpoint
     # fallback that recomputes the whole body.
     remat: str = "enc_saved"
+    # vmap the two cotangent pulls so the backward's remat recompute is shared
+    # (the recompute depends only on primals). None = auto: on for
+    # single-device sessions, off on multi-device meshes — jax's grouped-conv
+    # batching rule raises NotImplementedError when the weight-cotangent conv
+    # carries both a vmap batch dim and a GSPMD out_sharding (the memory
+    # encoder's depthwise convs hit exactly that under sharded params).
+    fused_cotangent_pull: Optional[bool] = None
 
     @property
     def prompt_frames(self) -> Tuple[int, ...]:
@@ -203,6 +210,9 @@ def make_train_step(cfg: SAM2Config, rcfg: Recipe3DConfig, tx):
     # (instead of recomputing ~55% of the forward per scan step).
     trainable = {"sam_mask_decoder", "obj_ptr_proj", "memory_encoder",
                  "memory_attention", "mask_downsample"}
+    fused_pull = rcfg.fused_cotangent_pull
+    if fused_pull is None:
+        fused_pull = jax.device_count() == 1
 
     def losses_fn(params, batch, key=None):
         params = {k: (v if k in trainable else jax.lax.stop_gradient(v))
@@ -230,14 +240,23 @@ def make_train_step(cfg: SAM2Config, rcfg: Recipe3DConfig, tx):
             lambda p: losses_fn(p, batch, key), params)
         # reference grad flow: optimizer2 (mem) sees only d(non_prompt);
         # optimizer1 (decoder) steps on accumulated d(prompt) + d(non_prompt)
-        g_np = vjp_fn((jnp.zeros_like(non_prompt_loss), jnp.ones_like(non_prompt_loss)))[0]
-        g_total = vjp_fn((jnp.ones_like(prompt_loss), jnp.ones_like(non_prompt_loss)))[0]
-        grads = {}
-        for k in params:
-            if k == "sam_mask_decoder":
-                grads[k] = g_total[k]
-            else:
-                grads[k] = g_np[k]
+        if fused_pull:
+            # vmap the two cotangent pulls: the backward's remat recompute
+            # depends only on the primals (not the cotangent), so vmap leaves
+            # it unbatched and shared — only the transposed ops run twice.
+            cp = jnp.asarray([0.0, 1.0], prompt_loss.dtype)
+            cn = jnp.asarray([1.0, 1.0], non_prompt_loss.dtype)
+            g = jax.vmap(lambda a, b: vjp_fn((a, b))[0])(cp, cn)
+            grads = {}
+            for k in params:
+                lane = 1 if k == "sam_mask_decoder" else 0
+                grads[k] = jax.tree_util.tree_map(lambda x: x[lane], g[k])
+        else:
+            one = jnp.ones_like(non_prompt_loss)
+            g_np = vjp_fn((jnp.zeros_like(prompt_loss), one))[0]
+            g_total = vjp_fn((jnp.ones_like(prompt_loss), one))[0]
+            grads = {k: (g_total[k] if k == "sam_mask_decoder" else g_np[k])
+                     for k in params}
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {

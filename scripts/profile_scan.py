@@ -44,6 +44,7 @@ def timed_n(build_run, n):
 def slope(build_run):
     t1 = timed_n(build_run, N1)
     t2 = timed_n(build_run, N2)
+    print(f"    raw: t{N1}={t1*1e3:8.2f} ms  t{N2}={t2*1e3:8.2f} ms", flush=True)
     return (t2 - t1) / (N2 - N1)
 
 
@@ -62,21 +63,22 @@ def main():
                         labels=np.array([1]))
     B = len(state["obj_ids"])
     spec = pred._session_spec(state)
-    bank0 = mb.init_bank(spec, B)
+    bank0 = pred._make_bank(spec, B)   # incl. kcache slots, as the bench does
     out, bank0 = pred._run_prompt_frame(state, bank0, 0, spec)
     h4 = cfg.low_res_mask_size
     images = state["images"]
 
-    # ---- A: real scan body
+    # ---- A: real (segmented, branch-free) scan body
+    pos_kcache = (sam2_model.make_pos_kcache(pred.params, cfg, spec)
+                  if pred.use_kcache else None)
+
     def build_A(n):
-        order = jnp.arange(n, dtype=jnp.int32)
-        is_cond = np.zeros(n, bool); is_cond[0] = True
-        stored = jnp.zeros((n, B, 1, h4, h4), jnp.float32)
+        order = jnp.arange(1, n + 1, dtype=jnp.int32)
 
         def run():
-            return pred._scan_track(
-                pred.params, images, bank0, order, is_cond, stored,
-                spec=spec, is_eval=True, num_frames=T, track_in_reverse=False)
+            return pred._scan_run(
+                pred.params, images, bank0, order, pos_kcache,
+                spec=spec, is_eval=True, num_frames=T, track_in_reverse=False)[0]
         return run
 
     # ---- C: encoder-only scan over sliced frames

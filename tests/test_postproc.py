@@ -306,6 +306,10 @@ def test_flash_block_selection():
     assert _flash_blocks(4096, 28736, dv=64, itemsize=4) == (2048, 512)
     assert _flash_blocks(4096, 28736, dv=256, itemsize=2) == (2048, 512)
     assert _flash_blocks(4096, 4096) == (512, 1024)   # square self/global attn
+    # blocks clamp to the 512-aligned sequence length (512-px streaming shape)
+    assert _flash_blocks(1024, 7232, dv=64, itemsize=2) == (1024, 1024)
+    assert _flash_blocks(1024, 1024) == (512, 1024)
+    assert _flash_blocks(256, 512) == (512, 512)
 
 
 @pytest.mark.parametrize("bwd", ["xla", "pallas"])

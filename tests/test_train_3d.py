@@ -106,3 +106,32 @@ def test_sharded_train_step_8dev():
     # TP shardings survive the step
     lin1 = new_params["memory_attention"]["layers"][0]["linear1"]["w"]
     assert "model" in str(lin1.sharding.spec)
+
+
+def test_fused_cotangent_pull_matches_two_pulls():
+    """The vmapped double-cotangent pull produces the same update as the
+    classic two-vjp-pull formulation (both reproduce the reference's
+    retain_graph grad flow)."""
+    import dataclasses
+
+    params = sam2_init(jax.random.PRNGKey(0), TINY)
+    batch = synth_batch(Bv=1)
+    outs = {}
+    for fused in (True, False):
+        rcfg = dataclasses.replace(RCFG, fused_cotangent_pull=fused)
+        tx, _ = recipe_3d.make_optimizers(params, TINY, rcfg)
+        step = jax.jit(recipe_3d.make_train_step(TINY, rcfg, tx))
+        p, _, metrics = step(params, tx.init(params), batch)
+        outs[fused] = (p, metrics)
+    np.testing.assert_allclose(float(outs[True][1]["loss"]),
+                               float(outs[False][1]["loss"]), rtol=1e-6)
+    a = outs[True][0]["sam_mask_decoder"]
+    b = outs[False][0]["sam_mask_decoder"]
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                                atol=5e-6, rtol=5e-4), a, b)
+    a = outs[True][0]["memory_attention"]
+    b = outs[False][0]["memory_attention"]
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                                atol=5e-6, rtol=5e-4), a, b)
