@@ -51,11 +51,13 @@ class Recipe3DConfig:
     # fallback that recomputes the whole body.
     remat: str = "enc_saved"
     # vmap the two cotangent pulls so the backward's remat recompute is shared
-    # (the recompute depends only on primals). None = auto: on for
-    # single-device sessions, off on multi-device meshes — jax's grouped-conv
-    # batching rule raises NotImplementedError when the weight-cotangent conv
-    # carries both a vmap batch dim and a GSPMD out_sharding (the memory
-    # encoder's depthwise convs hit exactly that under sharded params).
+    # (the recompute depends only on primals). Measured NEGATIVE on the v5e
+    # chip: train_3d @1024 0.171 -> 0.405 s/step — the batched transposed ops
+    # (grouped-conv weight cotangents especially) lower far worse than running
+    # the pull twice, so the default is the classic two-pull. Also
+    # incompatible with sharded params (jax's grouped-conv batching rule
+    # raises NotImplementedError under vmap + GSPMD out_sharding). None =
+    # two-pull everywhere; True opts in for experiments (parity-tested).
     fused_cotangent_pull: Optional[bool] = None
 
     @property
@@ -210,9 +212,7 @@ def make_train_step(cfg: SAM2Config, rcfg: Recipe3DConfig, tx):
     # (instead of recomputing ~55% of the forward per scan step).
     trainable = {"sam_mask_decoder", "obj_ptr_proj", "memory_encoder",
                  "memory_attention", "mask_downsample"}
-    fused_pull = rcfg.fused_cotangent_pull
-    if fused_pull is None:
-        fused_pull = jax.device_count() == 1
+    fused_pull = bool(rcfg.fused_cotangent_pull)
 
     def losses_fn(params, batch, key=None):
         params = {k: (v if k in trainable else jax.lax.stop_gradient(v))
