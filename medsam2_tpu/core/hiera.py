@@ -14,10 +14,12 @@ per-block schedule (dims, heads, window size, q-stride) is precomputed in
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from medsam2_tpu.configs import HieraConfig
 from medsam2_tpu.core import layers
@@ -192,6 +194,72 @@ def _use_fused_window(window_size: int, q_stride) -> bool:
     return (ws_ok and q_stride is None and _jax.default_backend() == "tpu")
 
 
+def _window_attention_dot6d(bp, x, num_heads: int, dim_out: int, ws: int):
+    """Windowed attention without partition transposes.
+
+    The classic lowering (window_partition -> SDPA -> unpartition) materializes
+    ~640 MB/frame of relayout copies @1024 (HLO-audited): the 6-D partition
+    transpose, the qkv [nW, N, 3, h, d] reshape, and the head transposes.
+    Here every axis split is a contiguous (free) reshape and the window/head
+    structure is expressed through dot_general batch dims instead of data
+    movement — the lone transpose is the final [B, nH, nW, wq, ww, O] ->
+    [B, nH, wq, nW, ww, O] interleave on the output.
+
+    Math-identical to the partition path (same qkv linear, fp32 softmax,
+    1/sqrt(d) scale); plain windowed blocks only (no q-pooling).
+
+    MEASURED NEGATIVE on v5e @1024 (kept flag-gated for other chips/shapes):
+    encoder-in-scan 5.30 -> 8.14 ms/frame — XLA canonicalizes the
+    multi-batch-dim dot_generals with internal relayouts costlier than the
+    explicit partition transposes it avoids. The copies it targets are real
+    (~640 MB/frame of relayout copies in the audited HLO) but this lowering
+    trades them for worse ones.
+    """
+    B, H, W, _ = x.shape
+    ph = (ws - H % ws) % ws
+    pw = (ws - W % ws) % ws
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    Hp, Wp = H + ph, W + pw
+    nH, nW = Hp // ws, Wp // ws
+    dh = dim_out // num_heads
+
+    qkv = layers.linear_apply(bp["qkv"], x)          # [B, Hp, Wp, 3*dim_out]
+    qkv = qkv.reshape(B, nH, ws, nW, ws, 3, num_heads, dh)
+    q = qkv[..., 0, :, :]                            # [B, nH, w, nW, w, h, dh]
+    k = qkv[..., 1, :, :]
+    v = qkv[..., 2, :, :]
+
+    dn_qk = (((6,), (6,)), ((0, 1, 3, 5), (0, 1, 3, 5)))
+    s = jax.lax.dot_general(q, k, dn_qk, precision=layers.PRECISION,
+                            preferred_element_type=jnp.float32)
+    # s: [B, nH, nW, h, wq1, wq2, wk1, wk2]; fp32 softmax as sdpa_xla
+    s = s * np.float32(1.0 / np.sqrt(dh))
+    p = jax.nn.softmax(s.reshape(*s.shape[:6], ws * ws), axis=-1)
+    p = p.reshape(s.shape).astype(x.dtype)
+
+    dn_pv = (((6, 7), (2, 4)), ((0, 1, 2, 3), (0, 1, 3, 5)))
+    o = jax.lax.dot_general(p, v, dn_pv, precision=layers.PRECISION,
+                            preferred_element_type=jnp.float32)
+    o = o.astype(x.dtype)
+    # o: [B, nH, nW, h, wq1, wq2, dh]
+    wproj = bp["proj"]["w"].reshape(num_heads, dh, dim_out).astype(x.dtype)
+    dn_proj = (((3, 6), (0, 1)), ((), ()))
+    y = jax.lax.dot_general(o, wproj, dn_proj, precision=layers.PRECISION)
+    # y: [B, nH, nW, wq1, wq2, O] -> interleave back to spatial
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, dim_out)
+    if "b" in bp["proj"]:
+        y = y + bp["proj"]["b"].astype(x.dtype)
+    if ph or pw:
+        y = y[:, :H, :W]
+    return y
+
+
+def _window_lowering() -> str:
+    # "partition" (classic) | "dot6d"; dot6d covers plain windowed blocks.
+    return os.environ.get("MEDSAM2_WINDOW_LOWERING", "partition")
+
+
 def _block_apply(bp, x, spec):
     """MultiScaleBlock (``hieradet.py:136-168``)."""
     window_size = spec["window_size"]
@@ -205,6 +273,16 @@ def _block_apply(bp, x, spec):
         shortcut = layers.linear_apply(bp["proj"], x)
         if q_stride is not None:
             shortcut = layers.max_pool2d(shortcut, q_stride, q_stride)
+
+    if (window_size > 0 and q_stride is None
+            and _window_lowering() == "dot6d"):
+        att = _window_attention_dot6d(bp["attn"], x, spec["num_heads"],
+                                      dim_out, window_size)
+        x = shortcut + att
+        x = x + layers.mlp_apply(bp["mlp"],
+                                 layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
+                                 activation=layers.gelu)
+        return x
 
     if _use_fused_window(window_size, q_stride):
         from medsam2_tpu.ops.window_attention import window_attention

@@ -228,3 +228,29 @@ def test_image_encoder_output_shapes():
     assert out["vision_features"].shape == (1, 2, 2, 256)
     assert out["backbone_fpn"][0].shape == (1, 8, 8, 256)
 
+
+
+def test_dot6d_window_lowering_matches_partition(rng, monkeypatch):
+    """The no-partition dot_general window-attention lowering is
+    math-identical to the classic partition/SDPA path (same qkv linear, fp32
+    softmax) — fp32 exact to tight tolerance, incl. non-divisible H/W
+    padding and multi-head blocks."""
+    # second config: plain windowed (dot6d-eligible) blocks in stages 2/3 too,
+    # multi-head, and a ws=4 block at H=3 so the pad-and-slice path runs
+    for cfg, size in ((TINY, 40),
+                      (HieraConfig(embed_dim=8, num_heads=2,
+                                   stages=(1, 2, 2, 2), q_pool=2,
+                                   window_spec=(4, 4, 4, 4),
+                                   global_att_blocks=(6,),
+                                   window_pos_embed_bkg_spatial_size=(3, 3)),
+                       48)):
+        params = jhiera.hiera_init(jax.random.PRNGKey(3), cfg)
+        x = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
+        monkeypatch.delenv("MEDSAM2_WINDOW_LOWERING", raising=False)
+        ref = jhiera.hiera_apply(params, cfg, x)
+        monkeypatch.setenv("MEDSAM2_WINDOW_LOWERING", "dot6d")
+        alt = jhiera.hiera_apply(params, cfg, x)
+        monkeypatch.delenv("MEDSAM2_WINDOW_LOWERING", raising=False)
+        for r, a in zip(ref, alt):
+            np.testing.assert_allclose(np.asarray(r), np.asarray(a),
+                                       atol=2e-5, rtol=2e-5)
