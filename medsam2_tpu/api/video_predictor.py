@@ -710,7 +710,6 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
     from medsam2_tpu.core.hiera import _get_pos_embed
     S = videos.shape[2]
     trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
-    h4 = cfg.low_res_mask_size
     is_cond = np.zeros((T,), bool)
     for f in prompt_frames:
         is_cond[f] = True

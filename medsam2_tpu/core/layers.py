@@ -91,6 +91,18 @@ def conv2d_init(key, in_ch: int, out_ch: int, kernel: Tuple[int, int], bias: boo
 def conv2d_apply(p, x, stride: Tuple[int, int] = (1, 1), padding="SAME_TORCH",
                  explicit_padding: Optional[Tuple[int, int]] = None, groups: int = 1):
     """NHWC conv. ``explicit_padding=(ph, pw)`` mirrors torch's symmetric int padding."""
+    if (p["w"].shape[0] == 1 and p["w"].shape[1] == 1 and stride == (1, 1)
+            and groups == 1 and (explicit_padding is None
+                                 or explicit_padding == (0, 0))):
+        # 1x1/stride-1 conv == per-pixel matmul. Lowered as a dot so XLA's
+        # layout assignment never sees a convolution here: conv ops pull
+        # activations into conv-preferred layouts, which showed up as
+        # [1,64,64,256]-class relayout copies around the FPN neck /
+        # memory-path boundaries in the audited @1024 scan HLO.
+        y = jnp.matmul(x, p["w"][0, 0].astype(x.dtype), precision=PRECISION)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
     if explicit_padding is not None:
         pad = [(explicit_padding[0], explicit_padding[0]), (explicit_padding[1], explicit_padding[1])]
     elif padding == "VALID":
