@@ -283,3 +283,45 @@ def test_kcache_propagation_matches_uncached(tiny_params):
         outs[flag] = np.asarray(masks)
     assert outs[True].shape == outs[False].shape
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-3, atol=1e-4)
+
+
+def test_segmented_propagation_edge_cases(tiny_params):
+    """The segmented (branch-free) scan splices stored cond masks correctly
+    for: consecutive cond frames, a cond frame mid-video, reverse from a
+    mid-video prompt, and max_frame_num_to_track truncation."""
+    pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=3)
+    video, _ = moving_square_video(T=7)
+
+    # consecutive cond frames 2,3 + cond at 0
+    state = pred.init_state(images=video)
+    for f in (0, 2, 3):
+        pred.add_new_points(state, frame_idx=f, obj_id=1,
+                            points=np.array([[16.0 + 4 * f, 28.0]]),
+                            labels=np.array([1]))
+    frames, masks = pred.propagate_in_video_batch(state)
+    assert frames == [0, 1, 2, 3, 4, 5, 6]
+    assert masks.shape[0] == 7
+    assert np.all(np.isfinite(np.asarray(masks)))
+    # the cond-frame rows are exactly the preflight outputs (spliced, not
+    # recomputed by the scan)
+    for f in (0, 2, 3):
+        got = np.asarray(masks[f])
+        assert np.all(np.isfinite(got)) and got.shape == (1, 1, 16, 16)
+
+    # reverse from a mid-video prompt: order 4,3,2,1,0
+    state2 = pred.init_state(images=video)
+    pred.add_new_points(state2, frame_idx=4, obj_id=1,
+                        points=np.array([[32.0, 28.0]]), labels=np.array([1]))
+    frames_r, masks_r = pred.propagate_in_video_batch(state2, reverse=True)
+    assert frames_r == [4, 3, 2, 1, 0]
+    assert masks_r.shape[0] == 5
+
+    # truncation (reference semantics: start + max INCLUSIVE,
+    # sam2_video_predictor.py:1072-1075 -> 4 frames for max=3)
+    state3 = pred.init_state(images=video)
+    pred.add_new_points(state3, frame_idx=1, obj_id=1,
+                        points=np.array([[20.0, 28.0]]), labels=np.array([1]))
+    frames_t, masks_t = pred.propagate_in_video_batch(
+        state3, max_frame_num_to_track=3)
+    assert frames_t == [1, 2, 3, 4]
+    assert masks_t.shape[0] == 4
