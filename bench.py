@@ -77,8 +77,10 @@ def _bench_3d_at(image_size, num_frames, num_obj, preset):
     order = np.arange(1, num_frames)
     args = (pred.params, state["images"], bank,
             np.asarray(order, np.int32), pos_kcache)
+    from medsam2_tpu.api.video_predictor import _kv_storage_enabled
     kw = dict(spec=spec, is_eval=True, num_frames=num_frames,
-              track_in_reverse=False)
+              track_in_reverse=False,
+              kv_storage=pred.use_kcache and _kv_storage_enabled())
     m, _ = pred._scan_run(*args, **kw)
     jax.block_until_ready(m)
     best = 1e9

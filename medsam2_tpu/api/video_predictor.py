@@ -37,6 +37,15 @@ from medsam2_tpu.state import memory_bank as mb
 from medsam2_tpu.utils.transforms import IMAGENET_MEAN, IMAGENET_STD, SAM2Transforms
 
 
+def _kv_storage_enabled() -> bool:
+    """Gate for the storage-order kv-cache readout in the propagation scan
+    (``sam2_model._memory_conditioned_features_storage`` + the Pallas
+    ``kv_cached_attention`` kernel). Parity-tested (interpret mode + XLA
+    fallback) but not yet measured on the real chip — default off until the
+    slope timing confirms it beats the recency-gather ``k_cache`` path."""
+    return os.environ.get("MEDSAM2_KV_STORAGE", "0") == "1"
+
+
 class SAM2VideoPredictor:
     def __init__(self, params, cfg: SAM2Config, max_cond_frames: int = 8,
                  fill_hole_area: int = 0, non_overlap_masks: bool = False,
@@ -70,7 +79,7 @@ class SAM2VideoPredictor:
         self._scan_run = jax.jit(
             functools.partial(_scan_track_run, cfg=cfg),
             static_argnames=("spec", "is_eval", "num_frames",
-                             "track_in_reverse"),
+                             "track_in_reverse", "kv_storage"),
         )
 
     def _session_spec(self, state) -> mb.BankSpec:
@@ -391,7 +400,9 @@ class SAM2VideoPredictor:
             if run:
                 m, bank = self._scan_run(
                     self.params, images, bank,
-                    jnp.asarray(run, jnp.int32), pos_kcache, **kw)
+                    jnp.asarray(run, jnp.int32), pos_kcache,
+                    kv_storage=self.use_kcache and _kv_storage_enabled(),
+                    **kw)
                 seg_masks.append(m)
                 run.clear()
 
@@ -405,14 +416,14 @@ class SAM2VideoPredictor:
             if f in corr_mem:
                 feats_f, ptr_f = corr_mem[f]
                 kcache_f = None
-                if "cond_kcache" in bank:
+                if "kcache" in bank:
                     from medsam2_tpu.core.memory import precompute_memory_kcache
                     mem_h = self.cfg.sam_image_embedding_size
                     kcache_f = precompute_memory_kcache(
                         self.params["memory_attention"],
                         self.cfg.memory_attention,
                         feats_f, (mem_h, mem_h),
-                        dtype=bank["cond_kcache"].dtype)
+                        dtype=bank["kcache"].dtype)
                 bank = mb.write_bank(spec, bank, jnp.asarray(f, jnp.int32),
                                      feats_f, ptr_f, is_cond=False,
                                      kcache=kcache_f)
@@ -535,12 +546,12 @@ def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
         apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
     )
     kcache = None
-    if "cond_kcache" in bank:
+    if "kcache" in bank:
         from medsam2_tpu.core.memory import precompute_memory_kcache
         mem_h = cfg.sam_image_embedding_size
         kcache = precompute_memory_kcache(
             params["memory_attention"], cfg.memory_attention, maskmem_features,
-            (mem_h, mem_h), dtype=bank["cond_kcache"].dtype)
+            (mem_h, mem_h), dtype=bank["kcache"].dtype)
     bank = mb.write_bank(spec, bank, frame_idx, maskmem_features, obj_ptr,
                          is_cond=write_cond, kcache=kcache)
     out = {
@@ -555,7 +566,8 @@ def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
 
 def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,
                     cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool,
-                    num_frames: int, track_in_reverse: bool):
+                    num_frames: int, track_in_reverse: bool,
+                    kv_storage: bool = False):
     """Branch-free ``lax.scan`` over a run of consecutive NON-cond frames.
 
     The cond/non-cond split is host-static (prompt frames are recorded in the
@@ -585,7 +597,7 @@ def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,
             run_mem_encoder=True, is_cond_frame=False,
             track_in_reverse=track_in_reverse,
             num_frames=num_frames, is_eval=is_eval,
-            pos_kcache=pos_kcache,
+            pos_kcache=pos_kcache, kv_storage=kv_storage,
         )
         return bank, out["pred_masks"].astype(jnp.float32)
 

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from medsam2_tpu.configs import MemoryAttentionConfig, MemoryEncoderConfig
 from medsam2_tpu.core import layers
 from medsam2_tpu.core.pos_enc import sine_pos_embed
-from medsam2_tpu.core.transformer import attn_init, rope_attn_apply
+from medsam2_tpu.core.transformer import (attn_init, rope_attn_apply,
+                                           rope_attn_storage)
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +65,7 @@ def _dropout(x, rate: float, key):
 def _memory_attention_layer_apply(
     p, cfg: MemoryAttentionConfig, tgt, memory, pos, query_pos,
     q_hw: Tuple[int, int], num_k_exclude_rope: int, kv_mask,
-    dropout_key=None, k_cached=None,
+    dropout_key=None, k_cached=None, kv_bundle=None, layer_idx: int = 0,
 ):
     """One MemoryAttentionLayer (``memory_attention.py:58-99``). Residual
     dropout (rate ``cfg.dropout``) applies only when a ``dropout_key`` is
@@ -84,13 +85,20 @@ def _memory_attention_layer_apply(
     # Cross-attention to memory
     tgt2 = layers.layer_norm_apply(p["norm2"], tgt)
     q = tgt2 + query_pos if cfg.pos_enc_at_cross_attn_queries else tgt2
-    k = memory + pos if cfg.pos_enc_at_cross_attn_keys else memory
-    tgt2 = rope_attn_apply(
-        p["cross_attn_image"], q, k, memory, cfg.cross_attn_num_heads,
-        q_hw=q_hw, rope_theta=cfg.rope_theta, rope_k_repeat=True,
-        num_k_exclude_rope=num_k_exclude_rope, kv_mask=kv_mask,
-        k_cached=k_cached,
-    )
+    if kv_bundle is not None:
+        tgt2 = rope_attn_storage(
+            p["cross_attn_image"], q, kv_bundle, layer_idx,
+            cfg.cross_attn_num_heads, q_hw=q_hw, rope_theta=cfg.rope_theta,
+            force=kv_bundle.get("force"),
+        )
+    else:
+        k = memory + pos if cfg.pos_enc_at_cross_attn_keys else memory
+        tgt2 = rope_attn_apply(
+            p["cross_attn_image"], q, k, memory, cfg.cross_attn_num_heads,
+            q_hw=q_hw, rope_theta=cfg.rope_theta, rope_k_repeat=True,
+            num_k_exclude_rope=num_k_exclude_rope, kv_mask=kv_mask,
+            k_cached=k_cached,
+        )
     tgt = tgt + _dropout(tgt2, cfg.dropout, k2)
 
     # FFN (inner dropout after the activation, memory_attention.py:40,101-104)
@@ -113,13 +121,19 @@ def memory_attention_apply(
     kv_mask: Optional[jnp.ndarray] = None,  # [B, Nk] True = valid slot
     dropout_key=None,
     k_cache=None,  # ([B, Fa, L, P, C] memory part, [Fa, L, P, C] pos part)
+    kv_bundle=None,
 ) -> jnp.ndarray:
     """``MemoryAttention.forward`` (``memory_attention.py:119-169``).
 
     ``k_cache``: precomputed roped spatial keys as a (memory, positional)
     pair (see :func:`precompute_memory_kcache`); when given, each layer's
     cross-attention skips the k projection + RoPE over the long spatial
-    memory — the per-layer slice + add fuses into the attention input."""
+    memory — the per-layer slice + add fuses into the attention input.
+
+    ``kv_bundle``: the storage-order form of the same cache (see
+    :func:`medsam2_tpu.core.transformer.rope_attn_storage`); when given,
+    ``memory``/``memory_pos``/``kv_mask`` may be None — every cross-attention
+    input comes from the bundle, assembled blockwise in VMEM."""
     output = curr
     if cfg.pos_enc_at_input and curr_pos is not None:
         output = output + 0.1 * curr_pos
@@ -127,13 +141,14 @@ def memory_attention_apply(
             if dropout_key is not None else [None] * len(p["layers"]))
     for li, (lp, lk) in enumerate(zip(p["layers"], keys)):
         k_cached = None
-        if k_cache is not None:
+        if k_cache is not None and kv_bundle is None:
             mem_part, pos_part = k_cache
             kc = mem_part[:, :, li] + pos_part[None, :, li].astype(mem_part.dtype)
             k_cached = kc.reshape(kc.shape[0], -1, kc.shape[-1])
         output = _memory_attention_layer_apply(
             lp, cfg, output, memory, memory_pos, curr_pos, q_hw,
             num_obj_ptr_tokens, kv_mask, dropout_key=lk, k_cached=k_cached,
+            kv_bundle=kv_bundle, layer_idx=li,
         )
     return layers.layer_norm_apply(p["norm"], output)
 

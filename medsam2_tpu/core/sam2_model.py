@@ -299,6 +299,7 @@ def prepare_memory_conditioned_features(
     is_eval: bool = False,
     dropout_key=None,
     pos_kcache=None,
+    kv_storage: bool = False,
 ) -> jnp.ndarray:
     """``SAM2Base._prepare_memory_conditioned_features`` (``sam2_base.py:494-663``)
     against the fixed-shape bank. Returns [B, h, w, C]. ``dropout_key``
@@ -307,7 +308,13 @@ def prepare_memory_conditioned_features(
 
     ``pos_kcache`` [Fa, L, P, d_model]: the session-static positional half of
     the roped-key cache (hoisted out of the propagation scan); requires a bank
-    built with kcache slots."""
+    built with kcache slots.
+
+    ``kv_storage``: consume the cache in storage order (no recency gather —
+    the hot eval-scan path; see ``memory_bank.kv_storage_layout``). The
+    read-order ``k_cache`` form stays for vmapped callers (batched volume
+    streaming), whose per-volume scalar-prefetch indices the storage kernel
+    cannot batch."""
     B, h, w, C = current_vision_feats.shape
     curr = current_vision_feats.reshape(B, h * w, C)
     curr_pos = current_vision_pos.reshape(B, h * w, C).astype(curr.dtype)
@@ -329,6 +336,13 @@ def prepare_memory_conditioned_features(
             num_obj_ptr_tokens=0, dropout_key=dropout_key,
         )
         return out.reshape(B, h, w, C)
+
+    if kv_storage and pos_kcache is not None and "kcache" in bank:
+        return _memory_conditioned_features_storage(
+            params, cfg, spec, bank, frame_idx, curr, curr_pos, (w, h),
+            track_in_reverse=track_in_reverse, num_frames=num_frames,
+            is_eval=is_eval, dropout_key=dropout_key, pos_kcache=pos_kcache,
+        ).reshape(B, h, w, C)
 
     mem_h = cfg.sam_image_embedding_size
     spatial_pos = sine_pos_embed(mem_h, mem_h, cfg.mem_dim)
@@ -363,7 +377,7 @@ def prepare_memory_conditioned_features(
         num_ptr_tokens = 0
 
     k_cache = None
-    if pos_kcache is not None and "cond_kcache" in bank:
+    if pos_kcache is not None and "kcache" in bank:
         k_cache = (mb.read_kcache(spec, bank, frame_idx,
                                   track_in_reverse=track_in_reverse),
                    pos_kcache)
@@ -375,6 +389,66 @@ def prepare_memory_conditioned_features(
         dropout_key=dropout_key, k_cache=k_cache,
     )
     return out.reshape(B, h, w, C)
+
+
+def _memory_conditioned_features_storage(
+    params, cfg: SAM2Config, spec: mb.BankSpec, bank, frame_idx,
+    curr, curr_pos, q_hw, *, track_in_reverse, num_frames, is_eval,
+    dropout_key, pos_kcache,
+):
+    """Storage-order memory readout: cross-attention consumes the bank's
+    roped-key cache AS STORED (cond slots then the ring), with per-slot
+    positional rows + validity from :func:`memory_bank.kv_storage_layout` —
+    the recency reordering the reference materializes (``sam2_base.py:529-564``)
+    reduces to index arithmetic (attention is permutation-invariant over kv).
+    Returns [B, Nq, C]."""
+    B = curr.shape[0]
+    P = spec.mem_spatial
+    frame_idx = jnp.asarray(frame_idx, jnp.int32)
+
+    ptr_tokens, ptr_valid, ptr_tdiff = mb.read_ptrs(
+        spec, bank, frame_idx, track_in_reverse=track_in_reverse,
+        obj_ptrs_in_past_only=(cfg.only_obj_ptrs_in_the_past_for_eval and is_eval),
+        num_frames=num_frames)
+    if not cfg.use_obj_ptrs_in_encoder:
+        ptr_valid = jnp.zeros_like(ptr_valid)
+    if cfg.use_obj_ptrs_in_encoder and cfg.add_tpos_enc_to_obj_ptrs:
+        from medsam2_tpu.core.pos_enc import get_1d_sine_pe
+
+        eff_max_ptrs = min(int(num_frames), cfg.max_obj_ptrs_in_encoder)
+        t_diff_max = max(eff_max_ptrs - 1, 1)
+        tpos_dim = (cfg.hidden_dim if cfg.proj_tpos_enc_in_obj_ptrs
+                    else cfg.mem_dim)
+        obj_pos = get_1d_sine_pe(ptr_tdiff.astype(jnp.float32) / t_diff_max,
+                                 tpos_dim)
+        if cfg.proj_tpos_enc_in_obj_ptrs:
+            obj_pos = layers.linear_apply(params["obj_ptr_tpos_proj"], obj_pos)
+        ptr_pos = jnp.repeat(obj_pos, spec.tokens_per_ptr, axis=1)
+    else:
+        ptr_pos = jnp.zeros(ptr_tokens.shape, curr.dtype)
+
+    row_of_slot, slot_valid = mb.kv_storage_layout(
+        spec, bank, frame_idx, track_in_reverse=track_in_reverse)
+    kv_mask = jnp.concatenate(
+        [jnp.repeat(slot_valid, P, axis=1), ptr_valid], axis=1)
+    v_slots = jnp.concatenate(
+        [bank["cond_feats"], bank["noncond_feats"]], axis=1).astype(curr.dtype)
+
+    bundle = {
+        "kcache": bank["kcache"],
+        "pos_rows": pos_kcache,
+        "row_of_slot": row_of_slot,
+        "v_slots": v_slots,
+        "ptr_tokens": ptr_tokens.astype(curr.dtype),
+        "ptr_pos": ptr_pos.astype(curr.dtype),
+        "kv_mask": kv_mask,
+        "force": None,
+    }
+    return memory_attention_apply(
+        params["memory_attention"], cfg.memory_attention,
+        curr, None, curr_pos, None, q_hw=q_hw,
+        dropout_key=dropout_key, kv_bundle=bundle,
+    )
 
 
 def kcache_shape(cfg: SAM2Config) -> Tuple[int, int]:
@@ -438,6 +512,7 @@ def track_step(
     prev_sam_mask_logits: Optional[jnp.ndarray] = None,
     dropout_key=None,
     pos_kcache=None,
+    kv_storage: bool = False,
 ) -> Tuple[Dict, Dict]:
     """Single-frame pipeline (``sam2_base.py:705-800``): memory readout -> SAM
     heads -> memory write. Returns (outputs dict, updated bank).
@@ -458,6 +533,7 @@ def track_step(
             current_vision_feats[-1], current_vision_pos[-1],
             track_in_reverse=track_in_reverse, num_frames=num_frames, is_eval=is_eval,
             dropout_key=dropout_key, pos_kcache=pos_kcache,
+            kv_storage=kv_storage,
         )
         if prev_sam_mask_logits is not None:
             mask_inputs = prev_sam_mask_logits
@@ -486,12 +562,12 @@ def track_step(
             apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
         )
         kcache = None
-        if "cond_kcache" in bank:
+        if "kcache" in bank:
             mem_h = cfg.sam_image_embedding_size
             kcache = memory.precompute_memory_kcache(
                 params["memory_attention"], cfg.memory_attention,
                 maskmem_features, (mem_h, mem_h),
-                dtype=bank["cond_kcache"].dtype)
+                dtype=bank["kcache"].dtype)
         bank = mb.write_bank(spec, bank, frame_idx, maskmem_features,
                              sam_outputs.obj_ptr, is_cond=is_cond_frame,
                              kcache=kcache)

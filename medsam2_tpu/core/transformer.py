@@ -121,6 +121,45 @@ def roped_k_for_tokens(p_attn, tokens, num_heads: int, q_hw: Tuple[int, int],
     return kp.transpose(0, 2, 1, 3).reshape(B, P, C_int)
 
 
+def rope_attn_storage(p, q, bundle, layer: int, num_heads: int, *,
+                      q_hw: Tuple[int, int], rope_theta: float = 10000.0,
+                      force: Optional[str] = None):
+    """Memory cross-attention against the bank's roped-key cache in STORAGE
+    order (no recency gather / per-layer pos adds / ptr concat in HBM — see
+    ``ops.attention.kv_cached_attention``). Single kv head, low-rank values.
+
+    ``bundle``: kcache [B, F, L, P, C] (bank buffer as stored), pos_rows
+    [Rr, L, P, C], row_of_slot [F], ptr_tokens/ptr_pos [B, Nptr, D],
+    kv_mask [B, F*P + Nptr]."""
+    from medsam2_tpu.ops.attention import kv_cached_attention
+
+    if num_heads != 1:
+        raise NotImplementedError("storage-order kv cache assumes 1 kv head")
+    C_int = p["q_proj"]["w"].shape[1]
+    v_in = p["v_proj"]["w"].shape[0]
+    if v_in >= C_int // num_heads:
+        raise NotImplementedError("storage-order kv cache assumes low-rank v")
+    perm = jnp.asarray(_rope_half_perm(C_int, num_heads))
+    qp = _split_heads(_linear_perm(p["q_proj"], q, perm), num_heads)
+    w, h = q_hw
+    cos, sin = axial_rope_cos_sin(qp.shape[-1], w, h, rope_theta)
+    qp = _apply_rope_half(qp, cos, sin)[:, 0]             # [B, Nq, C]
+
+    ptr_in = bundle["ptr_tokens"] + bundle["ptr_pos"]
+    ptr_k = _linear_perm(p["k_proj"], ptr_in.astype(q.dtype), perm)
+
+    out = kv_cached_attention(
+        qp, bundle["kcache"], bundle["pos_rows"], bundle["row_of_slot"],
+        ptr_k, bundle["v_slots"], bundle["ptr_tokens"].astype(q.dtype),
+        bundle["kv_mask"], layer, force=force)             # [B, Nq, Dv]
+
+    wv = p["v_proj"]["w"].astype(out.dtype)
+    out = jnp.matmul(out, wv, precision=layers.PRECISION)
+    if "b" in p["v_proj"]:
+        out = out + p["v_proj"]["b"].astype(out.dtype)
+    return layers.linear_apply(p["out_proj"], out)
+
+
 def rope_attn_apply(p, q, k, v, num_heads: int, *, q_hw: Tuple[int, int],
                     rope_theta: float = 10000.0, rope_k_repeat: bool = False,
                     num_k_exclude_rope: int = 0, kv_mask=None,

@@ -446,6 +446,160 @@ def flash_attention(q, k, v, kv_mask=None, scale=None, block_q=512, block_k=512)
     return out[:, :Nq, :Dv].reshape(B, H, Nq, Dv)
 
 
+def _kv_cached_kernel(row_ref, q_ref, kc_ref, pos_ref, pk_ref, v_ref, pv_ref,
+                      mask_ref, o_ref, m_scratch, l_scratch, acc_scratch, *,
+                      scale, num_kv_blocks):
+    """Online-softmax cross-attention over the memory bank IN STORAGE ORDER.
+
+    Each kv block is assembled in VMEM as ``k = kcache_slot + pos_row`` (the
+    write-time roped memory keys plus the session-static positional keys,
+    selected per block via the scalar-prefetched ``row_ref``); the final block
+    instead carries the per-frame object-pointer keys/values. Nothing large is
+    ever gathered, concatenated, or re-ordered in HBM — the XLA lowering of
+    the same math moved ~420 MB/frame of copies at the 1024-px memory shape.
+    Fully-masked blocks (stale ring slots, pointer padding) skip their dots.
+    """
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, _NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    mask = mask_ref[0]                        # [1, bk] (>0 = valid)
+
+    @pl.when(jnp.any(mask > 0))
+    def _block():
+        q = q_ref[0]                          # [bq, D]
+        is_ptr = j == num_kv_blocks - 1
+        k = jnp.where(is_ptr, pk_ref[0], kc_ref[0, 0, 0] + pos_ref[0, 0])
+        v = jnp.where(is_ptr, pv_ref[0], v_ref[0, 0])
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask > 0, s, _NEG_INF)
+
+        m_prev = m_scratch[:]
+        l_prev = l_scratch[:]
+        m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_next) * mask
+        alpha = jnp.exp(m_prev - m_next)
+        l_scratch[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scratch[:] = acc_scratch[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scratch[:] = m_next
+
+    @pl.when(j == num_kv_blocks - 1)
+    def _finalize():
+        l = l_scratch[:]
+        lz = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / lz).astype(o_ref.dtype)
+
+
+def kv_cached_attention_xla(q, kcache, pos_rows, row_of_slot, ptr_k, v_slots,
+                            ptr_v, kv_mask, layer: int, scale):
+    """XLA reference of the storage-order cached cross-attention (also the
+    CPU/parity path): materializes k = kcache[:, :, layer] + pos_rows[rows]
+    and defers to :func:`sdpa_xla`. Semantically identical to the kernel."""
+    B, F, L, P, C = kcache.shape
+    Dv = v_slots.shape[-1]
+    k_sp = kcache[:, :, layer] + pos_rows[row_of_slot, layer][None].astype(kcache.dtype)
+    k = jnp.concatenate([k_sp.reshape(B, F * P, C),
+                         ptr_k.astype(kcache.dtype)], axis=1)
+    v = jnp.concatenate([v_slots.reshape(B, F * P, Dv), ptr_v], axis=1)
+    out = sdpa_xla(q[:, None], k[:, None].astype(q.dtype),
+                   v[:, None].astype(q.dtype), kv_mask=kv_mask, scale=scale)
+    return out[:, 0]
+
+
+def kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k, v_slots,
+                        ptr_v, kv_mask, layer: int, scale=None,
+                        block_q: int = 1024, block_k: int = 1024,
+                        force: Optional[str] = None):
+    """Cross-attention against the memory bank's roped-key cache in storage
+    order (single kv head).
+
+    q [B, Nq, C]; kcache [B, F, L, P, C] (bank buffer, slots as stored);
+    pos_rows [Rr, L, P, C] session-static positional keys; row_of_slot [F]
+    int32 (pos row per slot, see ``memory_bank.kv_storage_layout``);
+    ptr_k [B, Nptr, C] per-frame object-pointer keys (already projected, no
+    RoPE); v_slots [B, F, P, Dv] raw memory features (low-rank values);
+    ptr_v [B, Nptr, Dv]; kv_mask [B, F*P + Nptr] (True = attend).
+    Returns [B, Nq, Dv]. Inference-only (no vjp on the kernel path).
+    """
+    B, F, L, P, C = kcache.shape
+    Nq = q.shape[1]
+    Nptr = ptr_k.shape[1]
+    Dv = v_slots.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(C)
+
+    interpret = force == "interpret"
+    use_kernel = interpret or (
+        force != "xla" and jax.default_backend() == "tpu")
+    bk = min(block_k, P)
+    bq = min(block_q, max(Nq, 8))
+    if not use_kernel or P % bk != 0 or Nq % bq != 0 or Nptr > bk:
+        return kv_cached_attention_xla(q, kcache, pos_rows, row_of_slot,
+                                       ptr_k, v_slots, ptr_v, kv_mask, layer,
+                                       scale)
+
+    ppb = P // bk
+    num_kv_blocks = F * ppb + 1
+    # pad mask so the ptr block is bk wide (mask length F*P + Nptr -> + bk)
+    maskf = kv_mask.astype(jnp.float32)[:, None, :]
+    want = F * P + bk
+    if maskf.shape[2] != want:
+        maskf = jnp.pad(maskf, ((0, 0), (0, 0), (0, want - maskf.shape[2])))
+    pk = _pad_to(ptr_k.astype(q.dtype), 1, bk)
+    pv = _pad_to(ptr_v.astype(q.dtype), 1, bk)
+
+    li = int(layer)
+    grid = (B, Nq // bq, num_kv_blocks)
+
+    def slot_of(j):
+        return jnp.minimum(j // ppb, F - 1)
+
+    out = pl.pallas_call(
+        functools.partial(_kv_cached_kernel, scale=scale,
+                          num_kv_blocks=num_kv_blocks),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, C), lambda b, i, j, rows: (b, i, 0)),
+                pl.BlockSpec((1, 1, 1, bk, C),
+                             lambda b, i, j, rows: (b, slot_of(j), li, j % ppb, 0)),
+                pl.BlockSpec((1, 1, bk, C),
+                             lambda b, i, j, rows: (rows[j], li, j % ppb, 0)),
+                pl.BlockSpec((1, bk, C), lambda b, i, j, rows: (b, 0, 0)),
+                pl.BlockSpec((1, 1, bk, Dv),
+                             lambda b, i, j, rows: (b, slot_of(j), j % ppb, 0)),
+                pl.BlockSpec((1, bk, Dv), lambda b, i, j, rows: (b, 0, 0)),
+                pl.BlockSpec((1, 1, bk), lambda b, i, j, rows: (b, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((1, bq, Dv), lambda b, i, j, rows: (b, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, Dv), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Nq, Dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        # per-kv-block pos row: slot rows repeated per block + the ptr block
+        jnp.concatenate([jnp.repeat(row_of_slot.astype(jnp.int32), ppb),
+                         jnp.zeros((1,), jnp.int32)]),
+        q, kcache, pos_rows, pk, v_slots, pv, maskf,
+    )
+    return out
+
+
 def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
     if jax.default_backend() != "tpu":
         return False

@@ -136,10 +136,14 @@ def init_bank(spec: BankSpec, batch: int, dtype=jnp.float32,
     }
     L, C = kcache_shape
     if L > 0:
-        bank["cond_kcache"] = jnp.zeros(
-            (B, spec.max_cond_frames, L, spec.mem_spatial, C), kcache_dtype)
-        bank["noncond_kcache"] = jnp.zeros(
-            (B, spec.noncond_ring, L, spec.mem_spatial, C), kcache_dtype)
+        # One unified buffer in STORAGE order: slots [0, Mc) are cond frames,
+        # slots [Mc, Mc+R) the non-cond ring. Attention consumes it in this
+        # order directly (permutation-invariance: each slot carries its own
+        # positional row + validity), so readout never gathers/reorders the
+        # ~60 MB cache — see :func:`kv_storage_layout`.
+        bank["kcache"] = jnp.zeros(
+            (B, spec.max_cond_frames + spec.noncond_ring, L, spec.mem_spatial, C),
+            kcache_dtype)
     return bank
 
 
@@ -149,7 +153,7 @@ def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond:
     ``maskmem_feats`` [B, P, D]; ``obj_ptr`` [B, C]; ``is_cond`` static;
     ``kcache`` [B, L, P, d_model] optional roped-key cache for this frame
     (required iff the bank was built with one)."""
-    if ("cond_kcache" in bank) != (kcache is not None):
+    if ("kcache" in bank) != (kcache is not None):
         raise ValueError("bank kcache presence and write kcache argument disagree")
     bank = dict(bank)
     frame_idx = jnp.asarray(frame_idx, jnp.int32)
@@ -171,15 +175,16 @@ def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond:
             bank["cond_obj_ptr"], obj_ptr.astype(bank["cond_obj_ptr"].dtype), slot, 1)
         bank["cond_count"] = jnp.minimum(bank["cond_count"] + 1, spec.max_cond_frames)
         if kcache is not None:
-            bank["cond_kcache"] = jax.lax.dynamic_update_index_in_dim(
-                bank["cond_kcache"], kcache.astype(bank["cond_kcache"].dtype), slot, 1)
+            bank["kcache"] = jax.lax.dynamic_update_index_in_dim(
+                bank["kcache"], kcache.astype(bank["kcache"].dtype), slot, 1)
     else:
         slot = jnp.remainder(frame_idx, spec.noncond_ring)
         bank["noncond_feats"] = jax.lax.dynamic_update_index_in_dim(
             bank["noncond_feats"], maskmem_feats.astype(bank["noncond_feats"].dtype), slot, 1)
         if kcache is not None:
-            bank["noncond_kcache"] = jax.lax.dynamic_update_index_in_dim(
-                bank["noncond_kcache"], kcache.astype(bank["noncond_kcache"].dtype), slot, 1)
+            bank["kcache"] = jax.lax.dynamic_update_index_in_dim(
+                bank["kcache"], kcache.astype(bank["kcache"].dtype),
+                spec.max_cond_frames + slot, 1)
         bank["noncond_frame_idx"] = jax.lax.dynamic_update_index_in_dim(
             bank["noncond_frame_idx"], jnp.full((bank["noncond_frame_idx"].shape[0],), frame_idx), slot, 1)
         pslot = jnp.remainder(frame_idx, spec.ptr_ring)
@@ -215,8 +220,41 @@ def read_kcache(spec: BankSpec, bank, frame_idx,
     frame_idx = jnp.asarray(frame_idx, jnp.int32)
     targets = _noncond_target_frames(spec, frame_idx, track_in_reverse)
     slots = jnp.remainder(jnp.clip(targets, 0, None), spec.noncond_ring)
-    nc = jnp.take(bank["noncond_kcache"], slots, axis=1)
-    return jnp.concatenate([bank["cond_kcache"], nc], axis=1)
+    Mc = spec.max_cond_frames
+    nc = jnp.take(bank["kcache"], Mc + slots, axis=1)
+    return jnp.concatenate([bank["kcache"][:, :Mc], nc], axis=1)
+
+
+def kv_storage_layout(spec: BankSpec, bank, frame_idx,
+                      track_in_reverse: bool = False):
+    """Storage-order attention metadata: instead of gathering the ~60 MB
+    roped-key cache into recency order every frame (:func:`read_kcache`),
+    attention consumes the bank buffer AS STORED and this function supplies,
+    per storage slot, (a) which session-static positional row it carries and
+    (b) whether it is attended at all. Attention over a kv set is invariant to
+    slot order given per-slot positions + validity masks.
+
+    Returns (row_of_slot [F_tot] int32 into the ``pos_kcache`` rows,
+    slot_valid [B, F_tot] bool). F_tot = max_cond_frames + noncond_ring.
+    Row/validity arithmetic is the same target-frame selection
+    (``sam2_base.py:529-564``) as :func:`read_bank`; a ring slot is valid iff
+    the frame it currently holds is one of the stride-r targets. Rows are
+    shared across the batch (frames are written batch-uniformly).
+    """
+    frame_idx = jnp.asarray(frame_idx, jnp.int32)
+    Mc = spec.max_cond_frames
+    targets = _noncond_target_frames(spec, frame_idx, track_in_reverse)  # [F]
+    stored = bank["noncond_frame_idx"]                                   # [B, R]
+    eq = (stored[:, :, None] == targets[None, None, :]) & (targets >= 0)[None, None, :]
+    ring_valid = jnp.any(eq, axis=-1)                                    # [B, R]
+    # row of ring slot s = Mc + (index of the target it matches); clamped row
+    # for invalid slots is harmless (masked out).
+    ring_row = Mc + jnp.argmax(eq[0], axis=-1).astype(jnp.int32)         # [R]
+    cond_valid = bank["cond_frame_idx"] >= 0                             # [B, Mc]
+    row_of_slot = jnp.concatenate(
+        [jnp.arange(Mc, dtype=jnp.int32), ring_row])
+    slot_valid = jnp.concatenate([cond_valid, ring_valid], axis=1)
+    return row_of_slot, slot_valid
 
 
 def pos_kcache_rows(spec: BankSpec, maskmem_tpos_enc: jnp.ndarray,
@@ -234,6 +272,57 @@ def pos_kcache_rows(spec: BankSpec, maskmem_tpos_enc: jnp.ndarray,
         [jnp.broadcast_to(cond_tpos[None], (spec.max_cond_frames, D)), nc_tpos],
         axis=0)                                                  # [Fa, D]
     return spatial_pos[None, :, :] + tpos[:, None, :]
+
+
+def read_ptrs(
+    spec: BankSpec,
+    bank,
+    frame_idx,
+    track_in_reverse: bool = False,
+    obj_ptrs_in_past_only: bool = False,
+    num_frames: int = 2 ** 30,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Object-pointer readout (``sam2_base.py:583-635``): all cond pointers +
+    up to min(num_frames, max_obj_ptrs) - 1 recent non-cond pointers, split
+    into mem_dim tokens. Returns (ptr_tokens [B, Nt, D], ptr_token_valid
+    [B, Nt] bool, ptr_tdiff [B, num_ptr_slots] int32)."""
+    B = bank["cond_obj_ptr"].shape[0]
+    D = spec.mem_dim
+    frame_idx = jnp.asarray(frame_idx, jnp.int32)
+    # cond pointers (optionally only past frames, sam2_base.py:587-594)
+    cond_ptr_valid = bank["cond_frame_idx"] >= 0
+    if obj_ptrs_in_past_only:
+        if track_in_reverse:
+            cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] >= frame_idx)
+        else:
+            cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] <= frame_idx)
+    # non-cond pointers from the last min(num_frames, max_obj_ptrs) - 1 frames
+    # (the reference loop range, sam2_base.py:585,604-612; num_frames is static)
+    eff_max_ptrs = min(int(num_frames), spec.max_obj_ptrs)
+    t_diff = jnp.arange(1, spec.max_obj_ptrs, dtype=jnp.int32)
+    ptr_targets = frame_idx + t_diff if track_in_reverse else frame_idx - t_diff
+    ptr_in_range = (ptr_targets >= 0) & (ptr_targets < num_frames) & (t_diff < eff_max_ptrs)
+    pslots = jnp.remainder(jnp.clip(ptr_targets, 0, None), spec.ptr_ring)
+    ring_ptrs = jnp.take(bank["ptr_ring"], pslots, axis=1)           # [B, F-1, C]
+    ring_stored = jnp.take(bank["ptr_frame_idx"], pslots, axis=1)
+    ring_valid = (ring_stored == ptr_targets[None, :]) & ptr_in_range[None, :]
+    # A frame can be both cond and in the ptr window; the reference takes the
+    # cond pointer and skips the dict fallback — dedupe by masking ring hits
+    # that match any valid cond frame index.
+    dup = (ring_stored[:, :, None] == bank["cond_frame_idx"][:, None, :]) & cond_ptr_valid[:, None, :]
+    ring_valid = ring_valid & ~jnp.any(dup, axis=-1)
+
+    # All cond pointers + ring pointers (the reference has no total cap).
+    all_ptrs = jnp.concatenate([bank["cond_obj_ptr"], ring_ptrs], axis=1)  # [B, Np, C]
+    all_valid = jnp.concatenate([cond_ptr_valid, ring_valid], axis=1)      # [B, Np]
+    all_t = jnp.concatenate([bank["cond_frame_idx"], ring_stored], axis=1)
+    ptr_tdiff = jnp.where(all_valid, jnp.abs(all_t - frame_idx), 0)        # [B, Np]
+
+    tok = spec.tokens_per_ptr
+    ptr_tokens = all_ptrs.reshape(B, spec.num_ptr_slots, tok, D).reshape(
+        B, spec.num_ptr_tokens, D)
+    ptr_token_valid = jnp.repeat(all_valid, tok, axis=1)
+    return ptr_tokens, ptr_token_valid, ptr_tdiff
 
 
 def read_bank(
@@ -285,39 +374,9 @@ def read_bank(
     valid_sp = jnp.repeat(frame_valid, P, axis=1)
 
     # --- object pointers ---
-    # cond pointers (optionally only past frames, sam2_base.py:587-594)
-    cond_ptr_valid = cond_valid
-    if obj_ptrs_in_past_only:
-        if track_in_reverse:
-            cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] >= frame_idx)
-        else:
-            cond_ptr_valid = cond_ptr_valid & (bank["cond_frame_idx"] <= frame_idx)
-    # non-cond pointers from the last min(num_frames, max_obj_ptrs) - 1 frames
-    # (the reference loop range, sam2_base.py:585,604-612; num_frames is static)
-    eff_max_ptrs = min(int(num_frames), spec.max_obj_ptrs)
-    t_diff = jnp.arange(1, spec.max_obj_ptrs, dtype=jnp.int32)
-    ptr_targets = frame_idx + t_diff if track_in_reverse else frame_idx - t_diff
-    ptr_in_range = (ptr_targets >= 0) & (ptr_targets < num_frames) & (t_diff < eff_max_ptrs)
-    pslots = jnp.remainder(jnp.clip(ptr_targets, 0, None), spec.ptr_ring)
-    ring_ptrs = jnp.take(bank["ptr_ring"], pslots, axis=1)           # [B, F-1, C]
-    ring_stored = jnp.take(bank["ptr_frame_idx"], pslots, axis=1)
-    ring_valid = (ring_stored == ptr_targets[None, :]) & ptr_in_range[None, :]
-    # A frame can be both cond and in the ptr window; the reference takes the
-    # cond pointer and skips the dict fallback — dedupe by masking ring hits
-    # that match any valid cond frame index.
-    dup = (ring_stored[:, :, None] == bank["cond_frame_idx"][:, None, :]) & cond_ptr_valid[:, None, :]
-    ring_valid = ring_valid & ~jnp.any(dup, axis=-1)
-
-    # All cond pointers + ring pointers (the reference has no total cap).
-    all_ptrs = jnp.concatenate([bank["cond_obj_ptr"], ring_ptrs], axis=1)  # [B, Np, C]
-    all_valid = jnp.concatenate([cond_ptr_valid, ring_valid], axis=1)      # [B, Np]
-    all_t = jnp.concatenate([bank["cond_frame_idx"], ring_stored], axis=1)
-    ptr_tdiff = jnp.where(all_valid, jnp.abs(all_t - frame_idx), 0)        # [B, Np]
-
-    tok = spec.tokens_per_ptr
-    ptr_tokens = all_ptrs.reshape(B, spec.num_ptr_slots, tok, D).reshape(
-        B, spec.num_ptr_tokens, D)
-    ptr_token_valid = jnp.repeat(all_valid, tok, axis=1)
+    ptr_tokens, ptr_token_valid, ptr_tdiff = read_ptrs(
+        spec, bank, frame_idx, track_in_reverse=track_in_reverse,
+        obj_ptrs_in_past_only=obj_ptrs_in_past_only, num_frames=num_frames)
     ptr_pos = jnp.zeros((B, spec.num_ptr_tokens, D), memory_sp.dtype)
 
     memory = jnp.concatenate([memory_sp, ptr_tokens.astype(memory_sp.dtype)], axis=1)

@@ -235,3 +235,37 @@ def test_kcache_layer_equivalence(rng):
         k_cache=(mem_part, pos_part))
     np.testing.assert_allclose(np.asarray(cached), np.asarray(direct),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_kv_cached_attention_kernel_parity(rng):
+    """The storage-order Pallas kernel (interpret mode) must match the XLA
+    assembly fallback exactly: same storage-order kv, per-slot pos rows via
+    scalar-prefetch indices, masked stale slots, and the object-pointer tail
+    block."""
+    from medsam2_tpu.ops.attention import kv_cached_attention
+
+    B, F, L, P, C = 2, 4, 2, 16, 8
+    Rr, Dv, Nq, Nptr = 5, 4, 16, 4
+    f32 = np.float32
+    q = jnp.asarray(rng.standard_normal((B, Nq, C)).astype(f32))
+    kcache = jnp.asarray(rng.standard_normal((B, F, L, P, C)).astype(f32))
+    pos_rows = jnp.asarray(rng.standard_normal((Rr, L, P, C)).astype(f32))
+    row_of_slot = jnp.asarray(np.array([0, 3, 1, 4], np.int32))
+    ptr_k = jnp.asarray(rng.standard_normal((B, Nptr, C)).astype(f32))
+    v_slots = jnp.asarray(rng.standard_normal((B, F, P, Dv)).astype(f32))
+    ptr_v = jnp.asarray(rng.standard_normal((B, Nptr, Dv)).astype(f32))
+    # slot 2 fully masked for batch 0; assorted ptr masking
+    mask = np.ones((B, F * P + Nptr), bool)
+    mask[0, 2 * P:3 * P] = False
+    mask[0, F * P + 2:] = False
+    mask[1, F * P:] = False      # ptr block fully masked (skip path)
+    mask = jnp.asarray(mask)
+
+    for layer in range(L):
+        ref = kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k,
+                                  v_slots, ptr_v, mask, layer, force="xla")
+        got = kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k,
+                                  v_slots, ptr_v, mask, layer,
+                                  force="interpret")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)

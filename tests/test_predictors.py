@@ -325,3 +325,34 @@ def test_segmented_propagation_edge_cases(tiny_params):
         state3, max_frame_num_to_track=3)
     assert frames_t == [1, 2, 3, 4]
     assert masks_t.shape[0] == 4
+
+
+def test_kv_storage_propagation_parity(tiny_params, monkeypatch):
+    """MEDSAM2_KV_STORAGE=1 switches the propagation scan to the storage-order
+    kv-cache readout (``sam2_model._memory_conditioned_features_storage``; on
+    CPU the Pallas kernel falls back to its XLA assembly). Masks must match
+    the default recency-gather ``k_cache`` path, including ring wraps,
+    stride-2 readout, and a mid-video correction prompt."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, memory_temporal_stride_for_eval=2)
+    params = sam2_init(jax.random.PRNGKey(1), cfg)
+    T = 10
+    video, _ = moving_square_video(T=T)
+
+    def run(kv_storage: bool):
+        monkeypatch.setenv("MEDSAM2_KV_STORAGE", "1" if kv_storage else "0")
+        pred = SAM2VideoPredictor(params, cfg, max_cond_frames=2)
+        state = pred.init_state(images=video)
+        pred.add_new_points(state, 0, obj_id=1,
+                            points=np.array([[16.0, 28.0]]),
+                            labels=np.array([1]))
+        pred.add_new_points(state, 5, obj_id=1,
+                            points=np.array([[36.0, 28.0]]),
+                            labels=np.array([1]))
+        frames, masks = pred.propagate_in_video_batch(state)
+        assert frames == list(range(T))
+        return np.asarray(masks)
+
+    base = run(False)
+    storage = run(True)
+    np.testing.assert_allclose(storage, base, rtol=2e-4, atol=2e-5)
