@@ -269,3 +269,33 @@ def test_kv_cached_attention_kernel_parity(rng):
                                   force="interpret")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_kv_cached_attention_kernel_multiblock(rng):
+    """Multi-block grid coverage for the storage-order kernel: several kv
+    blocks per slot (ppb > 1), several q blocks, and a ptr tail narrower than
+    the block — the index arithmetic the single-block parity test never hits."""
+    from medsam2_tpu.ops.attention import kv_cached_attention
+
+    B, F, L, P, C = 1, 3, 1, 32, 8
+    Rr, Dv, Nq, Nptr = 4, 4, 16, 3
+    f32 = np.float32
+    q = jnp.asarray(rng.standard_normal((B, Nq, C)).astype(f32))
+    kcache = jnp.asarray(rng.standard_normal((B, F, L, P, C)).astype(f32))
+    pos_rows = jnp.asarray(rng.standard_normal((Rr, L, P, C)).astype(f32))
+    row_of_slot = jnp.asarray(np.array([2, 0, 3], np.int32))
+    ptr_k = jnp.asarray(rng.standard_normal((B, Nptr, C)).astype(f32))
+    v_slots = jnp.asarray(rng.standard_normal((B, F, P, Dv)).astype(f32))
+    ptr_v = jnp.asarray(rng.standard_normal((B, Nptr, Dv)).astype(f32))
+    mask = np.ones((B, F * P + Nptr), bool)
+    mask[0, P:2 * P] = False          # slot 1 stale
+    mask[0, F * P + 1] = False        # one ptr token masked
+    mask = jnp.asarray(mask)
+
+    ref = kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k,
+                              v_slots, ptr_v, mask, 0, force="xla")
+    got = kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k,
+                              v_slots, ptr_v, mask, 0, block_q=8, block_k=8,
+                              force="interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
