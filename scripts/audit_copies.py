@@ -84,6 +84,8 @@ def main():
     trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
     kw = dict(cfg=cfg, spec=spec, is_eval=True, num_frames=T,
               track_in_reverse=False)
+    if os.environ.get("MEDSAM2_KV_STORAGE", "0") == "1":
+        kw["kv_storage"] = True
     order = jnp.arange(1, T, dtype=jnp.int32)
 
     if "full" in variants:
