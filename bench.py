@@ -225,8 +225,9 @@ def bench_3d_batch():
     coords = jnp.full((num_volumes, 1, 1, 2), image_size / 2, jnp.float32)
     labels = jnp.ones((num_volumes, 1, 1), jnp.int32)
 
+    fold = os.environ.get("MEDSAM2_FOLD", "0") == "1"
     f = jax.jit(lambda v, c, l: propagate_volumes_batched(
-        params, cfg, spec, v, c, l, num_objects=1))
+        params, cfg, spec, v, c, l, num_objects=1, fold=fold))
     m = f(videos, coords, labels)
     float(jnp.sum(m))
     best = 1e9

@@ -500,9 +500,28 @@ def _encode_frame(params, frame, *, cfg: SAM2Config, trunk_pos_embed=None):
 
 
 def _expand_to_objects(feats, pos, B):
-    feats = [jnp.broadcast_to(f, (B, *f.shape[1:])) for f in feats]
-    pos = [jnp.broadcast_to(p, (B, *p.shape[1:])) for p in pos]
-    return feats, pos
+    """Tile encoded frame features to B batch rows: broadcast for a single
+    source frame, interleaved repeat (row = frame * objects + object) when
+    several frames are folded into the batch (multi-volume streaming)."""
+    def exp(x):
+        n = x.shape[0]
+        if n == B:
+            return x
+        if n == 1:
+            return jnp.broadcast_to(x, (B, *x.shape[1:]))
+        return jnp.repeat(x, B // n, axis=0)
+    return [exp(f) for f in feats], [exp(p) for p in pos]
+
+
+def _select_frame(images, frame_idx):
+    """Current frame(s) for a step: [T, S, S, 3] video -> [1, S, S, 3];
+    folded multi-volume [V, T, S, S, 3] -> [V, S, S, 3] (each volume's own
+    frame at the shared index)."""
+    if images.ndim == 5:
+        return jax.lax.dynamic_index_in_dim(images, frame_idx, axis=1,
+                                            keepdims=False)
+    return jax.lax.dynamic_index_in_dim(images, frame_idx, axis=0,
+                                        keepdims=True)
 
 
 def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
@@ -512,7 +531,7 @@ def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
     """Conditioning-frame step: encode image, run point AND mask-prompt paths,
     select per object, consolidate, encode + write cond memory."""
     B = coords.shape[0]
-    frame = jax.lax.dynamic_index_in_dim(images, frame_idx, axis=0, keepdims=True)
+    frame = _select_frame(images, frame_idx)
     feats, pos = _encode_frame(params, frame, cfg=cfg)
     feats, pos = _expand_to_objects(feats, pos, B)
     high_res = feats[:-1] if len(feats) > 1 else None
@@ -580,11 +599,11 @@ def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,
     """
     B = bank["cond_feats"].shape[0]
     from medsam2_tpu.core.hiera import _get_pos_embed
-    S = images.shape[1]
+    S = images.shape[-2]
     trunk_pe = _get_pos_embed(params["image_encoder"]["trunk"], S // 4, S // 4)
 
     def body(bank, frame_idx):
-        frame = jax.lax.dynamic_index_in_dim(images, frame_idx, 0, keepdims=True)
+        frame = _select_frame(images, frame_idx)
         feats, pos = _encode_frame(params, frame, cfg=cfg,
                                    trunk_pos_embed=trunk_pe)
         feats, pos = _expand_to_objects(feats, pos, B)
@@ -691,7 +710,8 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
                               videos: jnp.ndarray, prompt_coords: jnp.ndarray,
                               prompt_labels: jnp.ndarray,
                               num_objects: int = 1,
-                              prompt_frames: Tuple[int, ...] = (0,)) -> jnp.ndarray:
+                              prompt_frames: Tuple[int, ...] = (0,),
+                              fold: bool = False) -> jnp.ndarray:
     """Batched multi-volume streaming (BASELINE config 5): vmap the full
     preflight + scan pipeline over a volume axis so several CT volumes stream
     through the ring-buffer memory bank concurrently on one chip (or sharded
@@ -704,6 +724,13 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
     frames (``func_3d/function.py:98-127``). A rank-4/3 coords/labels input is
     accepted as the legacy single-prompt-frame form (F=1 at frame 0).
     Returns low-res logits [V, T, O, 1, h4, h4].
+
+    ``fold=True`` runs volumes on the batch axis of ONE bank/scan (B = V * O)
+    instead of vmapping the pipeline — identical math (the frame schedule is
+    volume-uniform, so bank slot arithmetic is shared across rows), but the
+    memory attention becomes a single batched call, which the storage-order
+    kv readout (``MEDSAM2_KV_STORAGE=1``) can serve; its scalar-prefetch
+    Pallas kernel cannot be vmapped.
     """
     T = videos.shape[1]
     if prompt_coords.ndim == 4:   # legacy [V, O, P, 2] form
@@ -718,6 +745,11 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
         raise ValueError(
             f"spec.max_cond_frames={spec.max_cond_frames} cannot hold "
             f"{F} conditioning frames")
+
+    if fold:
+        return _propagate_volumes_folded(
+            params, cfg, spec, videos, prompt_coords, prompt_labels,
+            num_objects, prompt_frames)
 
     from medsam2_tpu.core.hiera import _get_pos_embed
     S = videos.shape[2]
@@ -777,6 +809,64 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
         return jnp.concatenate(seg_masks, axis=0)
 
     return jax.vmap(one_volume)(videos, prompt_coords, prompt_labels)
+
+
+def _propagate_volumes_folded(params, cfg: SAM2Config, spec: mb.BankSpec,
+                              videos, prompt_coords, prompt_labels,
+                              num_objects: int, prompt_frames):
+    """Volume-folded streaming (see ``propagate_volumes_batched(fold=True)``):
+    one bank with B = V * O rows (row = volume * O + object), a shared frame
+    schedule, and the segmented branch-free scan of the single-volume path."""
+    V, T = videos.shape[:2]
+    O = num_objects
+    B = V * O
+    P = prompt_coords.shape[-2]
+    kshape = sam2_model.kcache_shape(cfg)
+    pos_kcache = (sam2_model.make_pos_kcache(params, cfg, spec)
+                  if kshape[0] > 0 else None)
+    bank = mb.init_bank(spec, B, kcache_shape=kshape,
+                        kcache_dtype=sam2_model.kcache_dtype(cfg))
+
+    cond_masks = {}
+    for i, f in enumerate(prompt_frames):
+        out, bank = _prompt_step(
+            params, videos, bank, jnp.int32(f),
+            prompt_coords[:, i].reshape(B, P, 2),
+            prompt_labels[:, i].reshape(B, P),
+            jnp.zeros((B, cfg.image_size, cfg.image_size, 1), jnp.float32),
+            jnp.zeros((B,), bool),
+            cfg=cfg, spec=spec, multimask_output=False, is_eval=True,
+            num_frames=T)
+        cond_masks[f] = out["pred_masks"].astype(jnp.float32)
+
+    is_cond = np.zeros((T,), bool)
+    for f in prompt_frames:
+        is_cond[f] = True
+    kw = dict(cfg=cfg, spec=spec, is_eval=True, num_frames=T,
+              track_in_reverse=False,
+              kv_storage=("kcache" in bank) and _kv_storage_enabled())
+    seg_masks = []
+    run: list = []
+
+    def flush(bank):
+        if run:
+            m, bank = _scan_track_run(params, videos, bank,
+                                      jnp.asarray(run, jnp.int32),
+                                      pos_kcache, **kw)
+            seg_masks.append(m)
+            run.clear()
+        return bank
+
+    for f in range(T):
+        if is_cond[f]:
+            bank = flush(bank)
+            seg_masks.append(cond_masks[f][None])
+        else:
+            run.append(f)
+    bank = flush(bank)
+    masks = jnp.concatenate(seg_masks, axis=0)      # [T, B, 1, h4, h4]
+    h4 = masks.shape[-1]
+    return masks.reshape(T, V, O, 1, h4, h4).transpose(1, 0, 2, 3, 4, 5)
 
 
 def _frame_paths(video_path: str):

@@ -99,3 +99,35 @@ def test_batched_bbox_multi_cond_parity_vs_predictor():
     assert frames == list(range(T))
     np.testing.assert_allclose(np.asarray(batched[0]), np.asarray(masks),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_folded_matches_vmapped():
+    """fold=True (volumes on the batch axis of one bank/scan) must reproduce
+    the vmapped pipeline: 2 volumes x 2 objects, 2 conditioning frames, and
+    the storage-order readout both off and on (MEDSAM2_KV_STORAGE)."""
+    import os
+
+    params, spec2 = _setup()
+    spec = mb.BankSpec.from_config(TINY, max_cond_frames=2)
+    T = 6
+    video, _ = moving_square_video(T=T)
+    videos = jnp.asarray(np.stack([video, video[::-1].copy()]))
+    # [V=2, F=2, O=2, P=1, 2]
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(
+        16.0 + 32.0 * rng.random((2, 2, 2, 1, 2)).astype(np.float32))
+    labels = jnp.ones((2, 2, 2, 1), jnp.int32)
+
+    ref = propagate_volumes_batched(params, TINY, spec, videos, coords, labels,
+                                    num_objects=2, prompt_frames=(0, 3))
+    for kv in ("0", "1"):
+        os.environ["MEDSAM2_KV_STORAGE"] = kv
+        try:
+            got = propagate_volumes_batched(params, TINY, spec, videos, coords,
+                                            labels, num_objects=2,
+                                            prompt_frames=(0, 3), fold=True)
+        finally:
+            os.environ.pop("MEDSAM2_KV_STORAGE", None)
+        assert got.shape == ref.shape == (2, T, 2, 1, 16, 16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
