@@ -538,9 +538,18 @@ def kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k, v_slots,
     interpret = force == "interpret"
     use_kernel = interpret or (
         force != "xla" and jax.default_backend() == "tpu")
-    bk = min(block_k, P)
-    bq = min(block_q, max(Nq, 8))
-    if not use_kernel or P % bk != 0 or Nq % bq != 0 or Nptr > bk:
+
+    def divisor_block(n, want, align):
+        """Largest aligned divisor of n that is <= want (blocks must tile the
+        buffer exactly; e.g. P=2304 at 768 px has no 1024 divisor -> 768)."""
+        for b in range(min(want, n), 0, -1):
+            if n % b == 0 and b % align == 0:
+                return b
+        return 0
+
+    bk = divisor_block(P, block_k, 128 if not interpret else 8)
+    bq = divisor_block(Nq, block_q, 8)
+    if not use_kernel or bk == 0 or bq == 0 or Nptr > bk:
         return kv_cached_attention_xla(q, kcache, pos_rows, row_of_slot,
                                        ptr_k, v_slots, ptr_v, kv_mask, layer,
                                        scale)

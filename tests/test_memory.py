@@ -299,3 +299,33 @@ def test_kv_cached_attention_kernel_multiblock(rng):
                               force="interpret")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_kv_cached_attention_adaptive_blocks(rng):
+    """P with no power-of-two divisor at the requested block size (the 768-px
+    bank shape is P=2304): the kernel must pick the largest aligned divisor
+    instead of silently falling back to XLA."""
+    from medsam2_tpu.ops.attention import kv_cached_attention
+
+    B, F, L, P, C = 1, 2, 1, 24, 8
+    Rr, Dv, Nq, Nptr = 3, 4, 24, 2
+    f32 = np.float32
+    q = jnp.asarray(rng.standard_normal((B, Nq, C)).astype(f32))
+    kcache = jnp.asarray(rng.standard_normal((B, F, L, P, C)).astype(f32))
+    pos_rows = jnp.asarray(rng.standard_normal((Rr, L, P, C)).astype(f32))
+    row_of_slot = jnp.asarray(np.array([1, 2], np.int32))
+    ptr_k = jnp.asarray(rng.standard_normal((B, Nptr, C)).astype(f32))
+    v_slots = jnp.asarray(rng.standard_normal((B, F, P, Dv)).astype(f32))
+    ptr_v = jnp.asarray(rng.standard_normal((B, Nptr, Dv)).astype(f32))
+    mask = np.ones((B, F * P + Nptr), bool)
+    mask[0, P + 5:P + 11] = False
+    mask = jnp.asarray(mask)
+
+    ref = kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k,
+                              v_slots, ptr_v, mask, 0, force="xla")
+    # block 16 does not divide P=24 -> adaptive choice must land on 8
+    got = kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k,
+                              v_slots, ptr_v, mask, 0, block_q=16, block_k=16,
+                              force="interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
