@@ -356,3 +356,24 @@ def test_kv_storage_propagation_parity(tiny_params, monkeypatch):
     base = run(False)
     storage = run(True)
     np.testing.assert_allclose(storage, base, rtol=2e-4, atol=2e-5)
+
+
+def test_kv_storage_reverse_parity(tiny_params, monkeypatch):
+    """Reverse propagation through the storage-order readout: the
+    target-frame/validity arithmetic of kv_storage_layout flips with
+    track_in_reverse, so pin it against the default path too."""
+    T = 7
+    video, _ = moving_square_video(T=T)
+
+    def run(kv: str):
+        monkeypatch.setenv("MEDSAM2_KV_STORAGE", kv)
+        pred = SAM2VideoPredictor(tiny_params, TINY, max_cond_frames=2)
+        state = pred.init_state(images=video)
+        pred.add_new_points(state, T - 1, obj_id=1,
+                            points=np.array([[40.0, 28.0]]),
+                            labels=np.array([1]))
+        frames, masks = pred.propagate_in_video_batch(state, reverse=True)
+        assert frames == list(range(T - 1, -1, -1))
+        return np.asarray(masks)
+
+    np.testing.assert_allclose(run("1"), run("0"), rtol=2e-4, atol=2e-5)
