@@ -377,3 +377,30 @@ def test_kv_storage_reverse_parity(tiny_params, monkeypatch):
         return np.asarray(masks)
 
     np.testing.assert_allclose(run("1"), run("0"), rtol=2e-4, atol=2e-5)
+
+
+def test_kv_storage_obj_ptr_tpos_parity(tiny_params, monkeypatch):
+    """Storage-order readout with the obj-ptr temporal sine encoding enabled
+    (add_tpos_enc_to_obj_ptrs + proj_tpos_enc_in_obj_ptrs, the sam2.1 flags):
+    the ptr positional branch of _memory_conditioned_features_storage must
+    match the default path."""
+    import dataclasses
+    from medsam2_tpu.core.sam2_model import sam2_init as init_fn
+
+    cfg = dataclasses.replace(TINY, add_tpos_enc_to_obj_ptrs=True,
+                              proj_tpos_enc_in_obj_ptrs=True)
+    params = init_fn(jax.random.PRNGKey(2), cfg)
+    T = 6
+    video, _ = moving_square_video(T=T)
+
+    def run(kv: str):
+        monkeypatch.setenv("MEDSAM2_KV_STORAGE", kv)
+        pred = SAM2VideoPredictor(params, cfg, max_cond_frames=2)
+        state = pred.init_state(images=video)
+        pred.add_new_points(state, 0, obj_id=1,
+                            points=np.array([[16.0, 28.0]]),
+                            labels=np.array([1]))
+        _, masks = pred.propagate_in_video_batch(state)
+        return np.asarray(masks)
+
+    np.testing.assert_allclose(run("1"), run("0"), rtol=2e-4, atol=2e-5)
