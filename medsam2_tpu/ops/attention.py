@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -515,7 +516,8 @@ def kv_cached_attention_xla(q, kcache, pos_rows, row_of_slot, ptr_k, v_slots,
 
 def kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k, v_slots,
                         ptr_v, kv_mask, layer: int, scale=None,
-                        block_q: int = 1024, block_k: int = 1024,
+                        block_q: Optional[int] = None,
+                        block_k: Optional[int] = None,
                         force: Optional[str] = None):
     """Cross-attention against the memory bank's roped-key cache in storage
     order (single kv head).
@@ -534,6 +536,13 @@ def kv_cached_attention(q, kcache, pos_rows, row_of_slot, ptr_k, v_slots,
     Dv = v_slots.shape[-1]
     if scale is None:
         scale = 1.0 / math.sqrt(C)
+    # Block-shape sweep knobs (see scripts/profile_kv_storage.py): bigger bq
+    # re-reads the cache fewer times per layer, bigger bk amortizes the
+    # online-softmax rescale; p-matrix VMEM = bq*bk*4 bytes bounds the pair.
+    if block_q is None:
+        block_q = int(os.environ.get("MEDSAM2_KV_BQ", "1024"))
+    if block_k is None:
+        block_k = int(os.environ.get("MEDSAM2_KV_BK", "1024"))
 
     interpret = force == "interpret"
     use_kernel = interpret or (
