@@ -300,6 +300,33 @@ def interpolate(x, size: Tuple[int, int], method: str = "bilinear", antialias: b
     return jax.image.resize(x, (B, h, w, C), method=jax_method, antialias=antialias)
 
 
+def bilinear_resize_ac(x, size: Tuple[int, int]):
+    """Bilinear resize of NHWC ``x`` matching ``F.interpolate(...,
+    mode="bilinear", align_corners=True)``: source coordinate =
+    dst * (in-1)/(out-1). Taps/weights are static numpy (shape-only)."""
+    B, H, W, C = x.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return x
+
+    def taps(n_in, n_out):
+        if n_out == 1:
+            src = np.zeros(1)
+        else:
+            src = np.arange(n_out) * ((n_in - 1) / (n_out - 1))
+        i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+        i1 = np.minimum(i0 + 1, n_in - 1)
+        f = (src - i0).astype(np.float32)
+        return i0, i1, f
+
+    r0, r1, fr = taps(H, h)
+    c0, c1, fc = taps(W, w)
+    fr = jnp.asarray(fr, x.dtype).reshape(1, h, 1, 1)
+    fc = jnp.asarray(fc, x.dtype).reshape(1, 1, w, 1)
+    xr = x[:, r0] * (1 - fr) + x[:, r1] * fr
+    return xr[:, :, c0] * (1 - fc) + xr[:, :, c1] * fc
+
+
 def _torch_cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
     """Cubic-convolution weights for taps (-1, 0, 1, 2) at fractions ``t`` [N] -> [N, 4]."""
     t = t.astype(np.float64)

@@ -36,6 +36,13 @@ class PrompterConfig:
     dropout: float = 0.1  # head MLP dropout (dpa_p2pnet.py:65-75); active
                           # only when prompter_apply gets a dropout_key
     use_sr_pfo: bool = True
+    # mask-head norm: "bn" executes the reference's SyncBatchNorm math
+    # (dpa_p2pnet.py:447-452) — batch stats while training (a dropout_key is
+    # given; on a mesh this equals SyncBatchNorm when the batch axis is fully
+    # on-device), running stats at eval — and is checkpoint-compatible with
+    # reference prompter weights. "gn" keeps the stateless GroupNorm variant
+    # (no running stats to track; the round-1/2 default).
+    mask_norm: str = "bn"
 
     @property
     def strides(self) -> Tuple[int, ...]:
@@ -78,26 +85,30 @@ def anchor_points(h: int, w: int, space: int) -> np.ndarray:
     return (anchors + origin).reshape(-1, 2)
 
 
-def _head_mlp_init(key, in_dim, hidden, out_dim):
-    # MLP(input, hidden, 2 layers, out) of the reference (dpa_p2pnet.py:63-81):
-    # Linear->ReLU->Linear->ReLU->Linear(out)
-    k1, k2, k3 = jax.random.split(key, 3)
-    return {
-        "l1": layers.linear_init(k1, in_dim, hidden),
-        "l2": layers.linear_init(k2, hidden, hidden),
-        "out": layers.linear_init(k3, hidden, out_dim),
-    }
+def _head_mlp_init(key, in_dim, hidden, out_dim, n_hidden: int = 1):
+    """Reference ``MLP(input, hidden, num_layers, out)`` (dpa_p2pnet.py:63-81):
+    ``num_layers - 1`` blocks of Linear->ReLU->Dropout, then Linear(out).
+    The deform/reg/cls heads use ``num_layers=2`` -> ONE hidden layer
+    (``n_hidden=1``); SR_PFO's per-pixel MLP uses ``num_layers=3`` ->
+    ``n_hidden=2``."""
+    keys = jax.random.split(key, n_hidden + 1)
+    p = {"l1": layers.linear_init(keys[0], in_dim, hidden)}
+    if n_hidden >= 2:
+        p["l2"] = layers.linear_init(keys[1], hidden, hidden)
+    p["out"] = layers.linear_init(keys[-1], hidden, out_dim)
+    return p
 
 
 def _head_mlp_apply(p, x, rate: float = 0.0, key=None):
-    """Linear->ReLU[->Dropout]->Linear->ReLU[->Dropout]->Linear; dropout after
-    each hidden ReLU matches the reference MLP (dpa_p2pnet.py:65-75) and is
-    active only when ``key`` is given (training)."""
+    """(Linear->ReLU[->Dropout]) x n_hidden -> Linear; dropout after each
+    hidden ReLU matches the reference MLP (dpa_p2pnet.py:65-75) and is active
+    only when ``key`` is given (training)."""
     k1 = k2 = None
     if key is not None and rate > 0.0:
         k1, k2 = jax.random.split(key)
     x = _head_dropout(jax.nn.relu(layers.linear_apply(p["l1"], x)), rate, k1)
-    x = _head_dropout(jax.nn.relu(layers.linear_apply(p["l2"], x)), rate, k2)
+    if "l2" in p:
+        x = _head_dropout(jax.nn.relu(layers.linear_apply(p["l2"], x)), rate, k2)
     return layers.linear_apply(p["out"], x)
 
 
@@ -112,7 +123,7 @@ def _head_dropout(x, rate: float, key):
 def sr_pfo_init(key, dim: int = 256, hidden: int = 512):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
-        "mlp_p": _head_mlp_init(k1, dim, hidden, dim),
+        "mlp_p": _head_mlp_init(k1, dim, hidden, dim, n_hidden=2),
         "conv1": layers.conv2d_init(k2, dim, dim, (3, 3)),
         "conv2": layers.conv2d_init(k3, dim, dim, (3, 3)),
         "scale": jnp.ones((1,), jnp.float32),
@@ -154,10 +165,19 @@ def prompter_init(key, cfg: PrompterConfig):
         "conv": layers.conv2d_init(ks[6], d * cfg.num_levels, d, (3, 3)),
         "mask_head": {
             "conv1": layers.conv2d_init(ks[7], d, d, (3, 3)),
-            "gn": bb.group_norm_init(d),
             "conv2": layers.conv2d_init(ks[8], d, 1, (1, 1)),
         },
     }
+    if cfg.mask_norm == "bn":
+        # SyncBatchNorm(d) of the reference mask head (dpa_p2pnet.py:447-452):
+        # affine weight/bias + running stats (torch init: w=1, b=0, rm=0, rv=1)
+        p["mask_head"]["bn"] = {
+            "w": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32),
+            "mean": jnp.zeros((d,), jnp.float32),
+            "var": jnp.ones((d,), jnp.float32),
+        }
+    else:
+        p["mask_head"]["gn"] = bb.group_norm_init(d)
     if cfg.use_sr_pfo:
         p["sr_pfo"] = sr_pfo_init(ks[9], d)
     return p
@@ -211,15 +231,41 @@ def prompter_apply(params, cfg: PrompterConfig, images: jnp.ndarray,
     pred_coords = deformed + deltas2refine.astype(deformed.dtype)
     pred_logits = _head_mlp_apply(params["cls_head"], roi_feat, cfg.dropout, kc)
 
-    m = layers.conv2d_apply(params["mask_head"]["conv1"], feats1, explicit_padding=(1, 1))
-    m = jax.nn.relu(bb.group_norm_apply(params["mask_head"]["gn"], m))
-    m = layers.conv2d_apply(params["mask_head"]["conv2"], m, explicit_padding=(0, 0))
-    pred_masks = layers.interpolate(m.astype(jnp.float32), (H, W),
-                                    method="bilinear")[..., 0]
+    mh = params["mask_head"]
+    m = layers.conv2d_apply(mh["conv1"], feats1, explicit_padding=(1, 1))
+    bn_stats = None
+    if "bn" in mh:
+        # SyncBatchNorm (dpa_p2pnet.py:449): batch stats while training (a
+        # dropout_key marks training), running stats at eval; torch eps=1e-5.
+        bn = mh["bn"]
+        if dropout_key is not None:
+            mf = m.astype(jnp.float32)
+            mu = mf.mean(axis=(0, 1, 2))
+            var = mf.var(axis=(0, 1, 2))  # biased, as torch normalizes with
+            n = mf.shape[0] * mf.shape[1] * mf.shape[2]
+            # running-stat update uses the UNBIASED variance (torch semantics);
+            # surfaced to the train step, which EMA-updates params["...]["bn"].
+            bn_stats = {"mean": mu, "var": var * (n / max(n - 1, 1))}
+        else:
+            mu, var = bn["mean"], bn["var"]
+        scale = (bn["w"] / jnp.sqrt(var + 1e-5)).astype(m.dtype)
+        shift = (bn["b"] - mu * bn["w"] / jnp.sqrt(var + 1e-5)).astype(m.dtype)
+        m = m * scale + shift
+    else:
+        m = bb.group_norm_apply(mh["gn"], m)
+    m = jax.nn.relu(m)
+    # reference final conv: nn.Conv2d(d, 1, kernel_size=1, padding=1)
+    # (dpa_p2pnet.py:451) — the k=1 conv pads its INPUT with one zero pixel,
+    # so the output is (h+2, w+2) with a bias-valued border that feeds the
+    # align_corners=True bilinear upsample below. Reproduced exactly.
+    m = layers.conv2d_apply(mh["conv2"], m, explicit_padding=(1, 1))
+    pred_masks = layers.bilinear_resize_ac(m.astype(jnp.float32), (H, W))[..., 0]
 
     outputs = {
         "pred_coords": pred_coords,
         "pred_logits": pred_logits,
         "pred_masks": pred_masks,
     }
+    if bn_stats is not None:
+        outputs["mask_bn_stats"] = bn_stats
     return outputs, feats

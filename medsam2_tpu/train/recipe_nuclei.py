@@ -182,11 +182,14 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
             losses[k] = losses[k] / valid_frac
         total = sum(losses.values())
         metrics = {**{k: v for k, v in losses.items()}, "loss": total}
-        return total, (bank, metrics)
+        # mask-head SyncBatchNorm batch stats (bn mode): surfaced so grad_step
+        # can EMA-update the running stats (torch momentum 0.1) post-optimizer
+        bn_stats = outputs.get("mask_bn_stats")
+        return total, (bank, metrics, bn_stats)
 
     def grad_step(params, opt_state, batch, bank, key, bank_nonempty: bool,
                   precomputed_idx, dropout_key=None):
-        (loss, (bank, metrics)), grads = jax.value_and_grad(
+        (loss, (bank, metrics, bn_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, bank, key, bank_nonempty,
                                    precomputed_idx, dropout_key)
         if rcfg.clip_grad > 0:
@@ -197,6 +200,16 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
                 lambda g: g * scale, grads["prompter"])
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if bn_stats is not None:
+            # running stats are not trained (zero grad; the optimizer output
+            # for them is overwritten here): rs = (1-m)*rs + m*batch, m=0.1
+            bn = params["prompter"]["mask_head"]["bn"]
+            mom = 0.1
+            params["prompter"]["mask_head"]["bn"] = {
+                **bn,
+                "mean": (1 - mom) * bn["mean"] + mom * bn_stats["mean"],
+                "var": (1 - mom) * bn["var"] + mom * bn_stats["var"],
+            }
         return params, opt_state, bank, metrics
 
     # Both modes return a ready-to-call step (already jitted internally) —
