@@ -359,7 +359,8 @@ def bench_train_3d():
                                     num_objects=num_obj, max_cond_frames=4)
     params = sam2_model.sam2_init(jax.random.PRNGKey(0), cfg)
     tx, _ = recipe_3d.make_optimizers(params, cfg, rcfg)
-    step = jax.jit(recipe_3d.make_train_step(cfg, rcfg, tx))
+    step = jax.jit(recipe_3d.make_train_step(cfg, rcfg, tx),
+                   donate_argnums=(0, 1))
     opt_state = tx.init(params)
 
     rng = np.random.default_rng(0)
@@ -427,7 +428,8 @@ def bench_train_2d():
     params = sam2_model.sam2_init(jax.random.PRNGKey(0), cfg)
     tx = recipe_2d.make_optimizer_2d(rcfg)
     step = jax.jit(recipe_2d.make_train_step_2d(cfg, rcfg, tx),
-                   static_argnames=("bank_nonempty",))
+                   static_argnames=("bank_nonempty",),
+                   donate_argnums=(0, 1, 3))
     opt_state = tx.init(params)
 
     spec_P = cfg.sam_image_embedding_size ** 2

@@ -66,8 +66,12 @@ def train_refuge(args, cfg, logger, paths):
     params = load_params(ckpt, cfg) if ckpt else sam2_init(key, cfg)
     tx = recipe_2d.make_optimizer_2d(rcfg)
     opt_state = tx.init(params)
+    # donate params/opt_state/bank: every caller reassigns them, so XLA can
+    # apply the optimizer (and bank writes) in place instead of allocating
+    # fresh buffers each step
     step = jax.jit(recipe_2d.make_train_step_2d(cfg, rcfg, tx),
-                   static_argnames=("bank_nonempty",))
+                   static_argnames=("bank_nonempty",),
+                   donate_argnums=(0, 1, 3))
 
     if args.dataset == "synthetic" or args.data_path is None:
         train_ds = SyntheticDataset(args, "refuge")

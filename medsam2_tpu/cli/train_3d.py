@@ -154,7 +154,10 @@ def main(argv=None):
         opt_state = state["opt_state"]
         start_epoch = int(state["epoch"]) + 1
         logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
-    train_step = jax.jit(recipe_3d.make_train_step(cfg, rcfg, tx))
+    # donate params/opt_state (the loop reassigns both) so the Adam update
+    # runs in place — halves the train step's parameter-state footprint
+    train_step = jax.jit(recipe_3d.make_train_step(cfg, rcfg, tx),
+                         donate_argnums=(0, 1))
 
     mesh = None
     if args.distributed != "none" and len(jax.devices()) > 1:

@@ -59,6 +59,22 @@ class Recipe3DConfig:
     # raises NotImplementedError under vmap + GSPMD out_sharding). None =
     # two-pull everywhere; True opts in for experiments (parity-tested).
     fused_cotangent_pull: Optional[bool] = None
+    # Roped-key cache during training: project + RoPE memory keys once at
+    # bank-write time instead of over the whole ~29k-token memory every
+    # tracked frame (the measured inference win: mem-attn 3.66 -> 2.57
+    # ms/frame @1024). Exact math — k-projection and RoPE are applied per
+    # memory token either way, and the positional half is computed inside the
+    # loss so memory-attention weight grads stay complete. None = env
+    # ``MEDSAM2_TRAIN_KCACHE`` (default off until slope-timed on device:
+    # the backward trades the per-frame projection transpose for
+    # gather/scatter transposes over the cache buffer).
+    use_kcache: Optional[bool] = None
+
+    def kcache_enabled(self) -> bool:
+        if self.use_kcache is not None:
+            return self.use_kcache
+        import os
+        return os.environ.get("MEDSAM2_TRAIN_KCACHE", "0") == "1"
 
     @property
     def prompt_frames(self) -> Tuple[int, ...]:
@@ -116,7 +132,15 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
     obj_valid = batch["obj_valid"].astype(jnp.float32)  # [O]
     S = cfg.image_size
 
-    bank = mb.init_bank(spec, O)
+    kshape = (sam2_model.kcache_shape(cfg) if rcfg.kcache_enabled() else (0, 0))
+    bank = mb.init_bank(spec, O, kcache_shape=kshape,
+                        kcache_dtype=sam2_model.kcache_dtype(cfg))
+    # The positional half of the roped-key cache depends on trainable
+    # memory-attention weights, so it is computed INSIDE the loss (hoisted out
+    # of the frame scan, but inside the grad) — dL/dW_k keeps its positional
+    # contribution and the cache is never stale across optimizer steps.
+    pos_kcache = (sam2_model.make_pos_kcache(params, cfg, spec)
+                  if kshape[0] > 0 else None)
 
     def frame_loss(high_res_masks, frame_gt):
         # high_res_masks [O, 1, S, S] logits; frame_gt [O, S, S]
@@ -172,6 +196,7 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
                 run_mem_encoder=True, is_cond_frame=False,
                 num_frames=T, is_eval=False,
                 dropout_key=fkey if dropout_key is not None else None,
+                pos_kcache=pos_kcache,
             )
             return bank, frame_loss(out["pred_masks_high_res"], frame_gt)
 

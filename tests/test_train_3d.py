@@ -135,3 +135,35 @@ def test_fused_cotangent_pull_matches_two_pulls():
     jax.tree_util.tree_map(
         lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                                 atol=5e-6, rtol=5e-4), a, b)
+
+
+def test_train_kcache_matches_no_cache():
+    """The training roped-key cache is a pure lowering: losses and gradients
+    match the per-frame projection path (k-proj/RoPE are applied per memory
+    token either way; fp32 keeps the comparison tight)."""
+    import dataclasses
+
+    params = sam2_init(jax.random.PRNGKey(0), TINY)
+    batch = synth_batch(Bv=1)
+    spec = mb.BankSpec.from_config(TINY, max_cond_frames=RCFG.max_cond_frames)
+
+    grads, losses = {}, {}
+    for cached in (True, False):
+        rcfg = dataclasses.replace(RCFG, use_kcache=cached)
+
+        def total_loss(p, rcfg=rcfg):
+            vol = {k: v[0] for k, v in batch.items()}
+            pl, npl = recipe_3d.volume_losses(p, TINY, spec, rcfg, vol)
+            return pl + npl
+
+        losses[cached], grads[cached] = jax.jit(
+            jax.value_and_grad(total_loss))(params)
+
+    np.testing.assert_allclose(float(losses[True]), float(losses[False]),
+                               rtol=1e-5)
+    for group in ("sam_mask_decoder", "memory_attention", "memory_encoder",
+                  "obj_ptr_proj"):
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-5, rtol=2e-3),
+            grads[True][group], grads[False][group])
