@@ -235,13 +235,20 @@ class SAM2AutomaticMaskGenerator:
             self.predictor.params, self.predictor._features, coords, labels,
             cfg=self.cfg)
         if self.use_m2m:
-            # second pass: best mask per point re-fed as a mask prompt with the
-            # point (automatic_mask_generator.py:417-434)
-            best = jnp.argmax(iou_preds, axis=-1)
-            bidx = jnp.arange(low_res.shape[0])
+            # second pass: EVERY candidate mask re-fed as a single-mask prompt
+            # with its point (automatic_mask_generator.py:326-335,417-434) —
+            # the reference refines all B*M flattened candidates, not just the
+            # best per point, and its predictor clamps low-res logits to +/-32
+            # before they can be re-fed (sam2_image_predictor.py:414)
+            B, M = low_res.shape[:2]
+            flat = jnp.clip(
+                low_res.reshape(B * M, 1, *low_res.shape[2:]), -32.0, 32.0)
             low_res, iou_preds = self._refine_m2m(
-                self.predictor.params, self.predictor._features, coords, labels,
-                low_res[bidx, best][:, None], cfg=self.cfg)
+                self.predictor.params, self.predictor._features,
+                jnp.repeat(coords, M, axis=0), jnp.repeat(labels, M, axis=0),
+                flat, cfg=self.cfg)
+            low_res = low_res.reshape(B, M, *low_res.shape[2:])
+            iou_preds = iou_preds.reshape(B, M)
         iou_flat, stability, boxes, packed = self._score(
             low_res, iou_preds, out_hw=tuple(im_size),
             mask_threshold=self.mask_threshold,
@@ -298,6 +305,9 @@ def _refine_with_m2m(params, features, coords, labels, mask_input, *,
         mask_inputs=mask_input.transpose(0, 2, 3, 1),
         high_res_features=feats["high_res_feats"],
         multimask_output=False,
+        # eval-only path; the reference eval build swaps unstable single-mask
+        # outputs for the best multimask candidate (mask_decoder.py:281-317)
+        eval_dynamic_multimask=True,
     )
     return out.low_res_multimasks, out.ious
 

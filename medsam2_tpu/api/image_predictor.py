@@ -97,7 +97,9 @@ class SAM2ImagePredictor:
         masks = self._transforms.postprocess_masks(low_res, hw)
         masks = np.asarray(masks[0])
         ious_np = np.asarray(ious[0])
-        low_np = np.asarray(low_res[0])
+        # the reference clamps returned low-res logits to +/-32 so they can be
+        # re-fed as mask_input safely (sam2_image_predictor.py:414)
+        low_np = np.clip(np.asarray(low_res[0]), -32.0, 32.0)
         if not return_logits:
             masks = masks > self.mask_threshold
         return masks, ious_np, low_np
@@ -155,16 +157,11 @@ class SAM2ImagePredictor:
         else:
             coords = np.concatenate(pts, 0)[None]
             labels = np.concatenate(lbl, 0)[None]
-        # pad to next power-of-two slots to bound trace count
-        P = coords.shape[1]
-        target = 1
-        while target < P:
-            target *= 2
-        target = max(target, 2)
-        pad = target - P
-        if pad:
-            coords = np.pad(coords, ((0, 0), (0, pad), (0, 0)))
-            labels = np.pad(labels, ((0, 0), (0, pad)), constant_values=-1)
+        # No slot padding: a padded -1 slot is an EXTRA sentinel token on top
+        # of the one the prompt encoder always appends (prompt_encoder.py:95-96)
+        # and shifts the decoder's attention away from the reference's
+        # arithmetic (~0.4% on iou preds). Each distinct prompt count costs
+        # one decode trace, which interactive use keeps small.
         return jnp.asarray(coords), jnp.asarray(labels)
 
 
@@ -193,6 +190,10 @@ def _decode_prompts(params, features, coords, labels, mask_input, *,
         mask_inputs=mask_input,
         high_res_features=features["high_res_feats"] or None,
         multimask_output=multimask_output,
+        # the image API is eval-only and the reference eval build enables the
+        # stability fallback for single-mask outputs (build_sam.py:28-38,
+        # mask_decoder.py:281-317)
+        eval_dynamic_multimask=True,
     )
     if return_best:
         return outputs.low_res_masks, outputs.ious

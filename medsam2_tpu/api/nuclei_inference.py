@@ -79,7 +79,10 @@ def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
         low_res, ious, _, _ = sam2_model.mask_decoder.mask_decoder_apply(
             sam_params["sam_mask_decoder"], cfg, image_embed, image_pe,
             sparse, dense, multimask_output=False, high_res_features=high_res,
-            image_indices=idx)
+            image_indices=idx,
+            # eval-only path: the reference validates with net.eval() and the
+            # build_sam2 stability-fallback override (func_2d/function.py:271)
+            dynamic_multimask_via_stability=True)
         up = layers.interpolate(
             low_res.astype(jnp.float32).transpose(0, 2, 3, 1), (S, S),
             method="bilinear")[..., 0]

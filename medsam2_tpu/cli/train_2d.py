@@ -118,7 +118,7 @@ def train_refuge(args, cfg, logger, paths):
 def validate_refuge(args, cfg, rcfg, params, val_ds, bank):
     fwd = jax.jit(
         lambda p, im, c, l, b, k: recipe_2d.forward_2d(
-            p, cfg, rcfg, im, c, l, b, k, bank_nonempty=True)[0])
+            p, cfg, rcfg, im, c, l, b, k, bank_nonempty=True, is_eval=True)[0])
     tot_iou = tot_dice = n = 0.0
     key = jax.random.PRNGKey(0)
     for i in range(min(len(val_ds), 32)):

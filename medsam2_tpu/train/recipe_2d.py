@@ -86,9 +86,14 @@ def _dtype(cfg: SAM2Config):
 
 def forward_2d(params, cfg: SAM2Config, rcfg: Recipe2DConfig, images, coords,
                labels, bank, key, bank_nonempty: bool,
-               multimask_output: bool = False, dropout_key=None):
+               multimask_output: bool = False, dropout_key=None,
+               is_eval: bool = False):
     """One 2D forward: returns (pred logits [B, out, out], iou_pred [B],
-    new bank, aux dict). ``dropout_key`` enables training dropout."""
+    new bank, aux dict). ``dropout_key`` enables training dropout. ``is_eval``
+    turns on the decoder's dynamic-stability fallback for single-mask outputs,
+    which the reference applies at validation (``net.eval()`` at
+    ``func_2d/function.py:271`` with the ``build_sam2`` postprocessing
+    override) but not during training (``mask_decoder.py:151``)."""
     B = images.shape[0]
     num_samples = B
     k1, _ = jax.random.split(key)
@@ -102,6 +107,7 @@ def forward_2d(params, cfg: SAM2Config, rcfg: Recipe2DConfig, images, coords,
         params["sam_mask_decoder"], cfg, image_embed, image_pe,
         sparse, dense, multimask_output=multimask_output,
         high_res_features=high_res,
+        dynamic_multimask_via_stability=is_eval,
     )
     iou_best = jnp.max(ious, axis=1)
 
