@@ -473,8 +473,41 @@ def bench_train_2d():
     }
 
 
+def _wait_for_device():
+    """The axon TPU tunnel has transient multi-minute outages; probe (in a
+    subprocess, because a failed backend init poisons the parent's jax) and
+    wait up to BENCH_WAIT_DEVICE_S (default 30 min) before benching so a
+    blip doesn't lose the round's number. Returns immediately once a device
+    answers; falls through after the deadline and lets the real run raise."""
+    import subprocess
+    import sys
+    deadline = time.time() + float(os.environ.get("BENCH_WAIT_DEVICE_S", "1800"))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "420"))
+    probe_src = ("import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((256, 256), jnp.bfloat16); "
+                 "print(float(jnp.sum(x @ x)))")
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run([sys.executable, "-c", probe_src],
+                                capture_output=True, timeout=probe_timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        if time.time() >= deadline:
+            print(f"bench: device probe still failing after {attempt} attempts; "
+                  "proceeding anyway", file=sys.stderr, flush=True)
+            return
+        print(f"bench: device probe {attempt} failed, retrying in 120 s",
+              file=sys.stderr, flush=True)
+        time.sleep(120)
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "3d")
+    _wait_for_device()
     result = {"3d": bench_3d, "2d": bench_2d, "3d_batch": bench_3d_batch,
               "amg": bench_amg, "train_3d": bench_train_3d,
               "train_2d": bench_train_2d}[mode]()
