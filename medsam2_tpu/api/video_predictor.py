@@ -370,10 +370,13 @@ class SAM2VideoPredictor:
             cond_outputs[f] = out["pred_masks"]
             corr_mem[f] = (out["maskmem_features"], out["obj_ptr"])
 
-        # --- frame order ---
+        # --- frame order (sam2_video_predictor.py:1063-1079: both directions
+        # span max_frame_num_to_track+1 frames inclusive of the start frame;
+        # reverse from frame 0 is skipped outright) ---
         if reverse:
-            end = max(start_frame_idx - max_frame_num_to_track + 1, 0)
-            order = list(range(start_frame_idx, end - 1, -1))
+            end = max(start_frame_idx - max_frame_num_to_track, 0)
+            order = (list(range(start_frame_idx, end - 1, -1))
+                     if start_frame_idx > 0 else [])
         else:
             end = min(start_frame_idx + max_frame_num_to_track, num_frames - 1)
             order = list(range(start_frame_idx, end + 1))

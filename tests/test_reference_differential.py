@@ -92,9 +92,12 @@ def make_diff_config(**overrides) -> SAM2Config:
     return SAM2Config(**base)
 
 
-def build_reference_model(cfg: SAM2Config):
+def build_reference_model(cfg: SAM2Config, predictor: bool = False,
+                          **predictor_kwargs):
     """Instantiate the reference SAM2Base with the tiny differential config
-    (mirroring the hydra wiring of ``sam2_hiera_t.yaml`` at small dims)."""
+    (mirroring the hydra wiring of ``sam2_hiera_t.yaml`` at small dims).
+    ``predictor=True`` builds the reference's full ``SAM2VideoPredictor``
+    (dict-state machine included) instead of the bare base model."""
     m = _load_reference_modeling()
     hiera = m["hieradet"].Hiera(
         embed_dim=cfg.trunk.embed_dim,
@@ -155,7 +158,15 @@ def build_reference_model(cfg: SAM2Config):
         in_dim=mec.in_dim,
     )
 
-    model = m["sam2_base"].SAM2Base(
+    if predictor:
+        import importlib
+
+        vp_mod = importlib.import_module("sam2_train.sam2_video_predictor")
+        model_cls = vp_mod.SAM2VideoPredictor
+    else:
+        model_cls = m["sam2_base"].SAM2Base
+    model = model_cls(
+        **predictor_kwargs,
         image_encoder=image_encoder,
         memory_attention=memory_attention,
         memory_encoder=memory_encoder,

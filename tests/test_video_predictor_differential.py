@@ -1,0 +1,241 @@
+"""Differential predictor oracle: execute the *reference's own*
+``SAM2VideoPredictor`` (``/root/reference/sam2_train/sam2_video_predictor.py``)
+end to end on CPU torch with shared weights and assert our predictor emits the
+same per-frame video-resolution masks.
+
+The module-level differential (``test_reference_differential.py``) drives the
+reference's ``track_step`` with a hand-mirrored loop; this one executes the
+reference's dict-state machine itself, pinning what that mirror can't:
+
+- per-object temp-output slicing + consolidation across objects when objects
+  are prompted on *different* frames (NO_OBJ_SCORE placeholder masks and
+  empty-mask dummy pointers, ``sam2_video_predictor.py:746-897``),
+- preflight memory encoding of consolidated prompt frames with
+  ``is_mask_from_pts=True`` for every object (``:852-860``),
+- ``frames_already_tracked`` bookkeeping and the propagation windowing
+  contract: both directions span ``max_frame_num_to_track + 1`` frames
+  inclusive of the start frame, and reverse from frame 0 yields nothing
+  (``:1063-1079``),
+- the ``add_new_points/add_new_bbox/add_new_mask`` input plumbing (coordinate
+  normalization, bbox -> 2/3-labeled corners, mask resize-binarize) and the
+  video-res output resize (``:726-746``).
+
+The reference predictor hardcodes cuda in a few places
+(``torch.device("cuda")`` in init_state, ``.cuda()`` on gathers); the fixture
+installs a module-local torch proxy mapping cuda -> cpu and an identity
+``Tensor.cuda`` so the reference's own code runs unmodified on CPU.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+torch = pytest.importorskip("torch")
+
+from medsam2_tpu.core.sam2_model import sam2_init
+from medsam2_tpu.api.video_predictor import SAM2VideoPredictor
+
+from tests.test_reference_differential import (
+    make_diff_config,
+    build_reference_model,
+    load_shared_weights,
+    make_video,
+)
+
+
+class _TorchCPUProxy:
+    """Stand-in for the ``torch`` module global inside the reference
+    predictor: identical, except ``torch.device('cuda')`` resolves to cpu."""
+
+    def __init__(self, real):
+        object.__setattr__(self, "_real", real)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "_real"), name)
+
+    def device(self, *args, **kwargs):
+        real = object.__getattribute__(self, "_real")
+        if args and isinstance(args[0], str) and args[0].startswith("cuda"):
+            return real.device("cpu")
+        return real.device(*args, **kwargs)
+
+
+@pytest.fixture(scope="module")
+def shared():
+    cfg = make_diff_config()
+    params = sam2_init(jax.random.PRNGKey(0), cfg)
+    ref = build_reference_model(cfg, predictor=True, fill_hole_area=0,
+                                non_overlap_masks=False)
+    load_shared_weights(ref, params, cfg)
+    ours = SAM2VideoPredictor(params, cfg, fill_hole_area=0,
+                              non_overlap_masks=False)
+
+    import sam2_train.sam2_video_predictor as vp_mod
+
+    orig_torch = vp_mod.torch
+    orig_cuda = torch.Tensor.cuda
+    vp_mod.torch = _TorchCPUProxy(torch)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield cfg, ref, ours
+    finally:
+        vp_mod.torch = orig_torch
+        torch.Tensor.cuda = orig_cuda
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+
+def _apply_script(pred, state, script, *, is_ref: bool):
+    """script: list of (kind, frame, obj_id, data); data is (coords [P,2],
+    labels [P]) for points, [2, 2] corner array for bbox, [H, W] bool mask."""
+    for kind, frame, obj, data in script:
+        if kind == "points":
+            coords, labels = data
+            if is_ref:
+                pred.add_new_points(state, frame, obj,
+                                    torch.tensor(np.asarray(coords, np.float32)),
+                                    torch.tensor(np.asarray(labels, np.int32)))
+            else:
+                pred.add_new_points(state, frame, obj, coords, labels)
+        elif kind == "bbox":
+            arr = np.asarray(data, np.float32)
+            if is_ref:
+                pred.add_new_bbox(state, frame, obj, torch.tensor(arr))
+            else:
+                pred.add_new_bbox(state, frame, obj, arr)
+        elif kind == "mask":
+            m = np.asarray(data)
+            if is_ref:
+                pred.add_new_mask(state, frame, obj, torch.from_numpy(m))
+            else:
+                pred.add_new_mask(state, frame, obj, m.astype(np.float32))
+        else:  # pragma: no cover
+            raise ValueError(kind)
+
+
+def run_reference(ref, video01, script, **propagate_kwargs):
+    # reference val_init_state divides by 255 before imagenet-normalizing
+    state = ref.val_init_state(torch.from_numpy(video01 * 255.0))
+    _apply_script(ref, state, script, is_ref=True)
+    out = {}
+    for f, _obj_ids, masks in ref.propagate_in_video(state, **propagate_kwargs):
+        out[f] = masks.clone().float().numpy()
+    return out
+
+
+def run_ours(ours, video01, script, **propagate_kwargs):
+    state = ours.val_init_state(video01)  # [T, 3, S, S] in [0, 1]
+    _apply_script(ours, state, script, is_ref=False)
+    out = {}
+    for f, _obj_ids, masks in ours.propagate_in_video(state, **propagate_kwargs):
+        out[f] = np.asarray(masks, np.float32)
+    return out
+
+
+def compare(ref_out, our_out, script, tol=2e-3):
+    assert set(ref_out) == set(our_out), (sorted(ref_out), sorted(our_out))
+    prompted = {}
+    for _kind, frame, obj, _data in script:
+        prompted.setdefault(frame, set()).add(obj)
+    for f in sorted(ref_out):
+        r, o = ref_out[f], our_out[f]
+        assert r.shape == o.shape, (f, r.shape, o.shape)
+        for obj in range(r.shape[0]):
+            if f in prompted and obj not in prompted[f]:
+                # missing object on an interacted frame: the reference stores a
+                # NO_OBJ_SCORE (-1024) placeholder; ours decodes an empty mask.
+                # The logit values differ by construction; both must be
+                # everywhere-negative (empty object).
+                assert r[obj].max() < 0 and o[obj].max() < 0, (f, obj)
+                continue
+            rel = np.abs(r[obj] - o[obj]) / np.maximum(np.abs(r[obj]), 1.0)
+            assert rel.max() < tol, (
+                f"frame {f} obj {obj}: max rel err {rel.max():.2e}")
+    # sanity: the compared outputs aren't degenerate
+    flat = np.concatenate([m.ravel() for m in ref_out.values()])
+    assert flat.std() > 0.01
+
+
+def run_case(shared, script, T=6, seed=0, **propagate_kwargs):
+    cfg, ref, ours = shared
+    video = make_video(T=T, S=cfg.image_size, seed=seed)
+    ref_out = run_reference(ref, video, script, **propagate_kwargs)
+    our_out = run_ours(ours, video, script, **propagate_kwargs)
+    compare(ref_out, our_out, script)
+    return ref_out, our_out
+
+
+# ---------------------------------------------------------------------------
+# cases
+# ---------------------------------------------------------------------------
+
+
+def _sq_click(f):
+    """Two clicks on the moving square of make_video at frame f."""
+    x = 40 + 12 * f + 35
+    return (np.array([[x, 115], [x + 10, 120]], np.float32),
+            np.array([1, 1], np.int32))
+
+
+def _disc_click(f):
+    """Positive click on the moving disc + negative on the square."""
+    return (np.array([[60 + 10 * f, 190], [40 + 12 * f + 35, 115]], np.float32),
+            np.array([1, 0], np.int32))
+
+
+def test_vp_differential_objects_on_different_frames(shared):
+    """obj 0 prompted at frame 0, obj 1 at frame 2: executes the reference's
+    cross-object consolidation with a missing object on both prompt frames
+    (placeholder masks + empty-mask dummy obj_ptr, run through the memory
+    encoder with is_mask_from_pts=True)."""
+    script = [("points", 0, 0, _sq_click(0)),
+              ("points", 2, 1, _disc_click(2))]
+    run_case(shared, script, T=6)
+
+
+def test_vp_differential_reverse_window(shared):
+    """Reverse propagation with a binding max_frame_num_to_track: the window
+    spans max+1 frames inclusive (sam2_video_predictor.py:1069-1074)."""
+    script = [("points", 4, 0, _sq_click(4)),
+              ("points", 4, 1, _disc_click(4))]
+    ref_out, _ = run_case(shared, script, T=6, reverse=True,
+                          max_frame_num_to_track=2)
+    assert sorted(ref_out) == [2, 3, 4]
+
+
+def test_vp_differential_reverse_from_frame0_is_empty(shared):
+    """Reverse from frame 0 yields nothing (sam2_video_predictor.py:1071-1074)."""
+    cfg, ref, ours = shared
+    video = make_video(T=3, S=cfg.image_size, seed=0)
+    script = [("points", 0, 0, _sq_click(0))]
+    assert run_reference(ref, video, script, reverse=True) == {}
+    assert run_ours(ours, video, script, reverse=True) == {}
+
+
+def test_vp_differential_forward_window(shared):
+    """Forward max_frame_num_to_track also spans max+1 frames inclusive."""
+    script = [("points", 1, 0, _sq_click(1)),
+              ("points", 1, 1, _disc_click(1))]
+    ref_out, _ = run_case(shared, script, T=6, max_frame_num_to_track=2)
+    assert sorted(ref_out) == [1, 2, 3]
+
+
+def test_vp_differential_mask_prompt(shared):
+    """add_new_mask: binary mask prompt conditioning (mask stored at model
+    res, routed through use_mask_input_as_output_without_sam)."""
+    cfg, _, _ = shared
+    S = cfg.image_size
+    yy, xx = np.mgrid[0:S, 0:S]
+    sq = (yy >= 80) & (yy < 150) & (xx >= 75) & (xx < 145)
+    script = [("mask", 0, 0, sq), ("points", 0, 1, _disc_click(0))]
+    run_case(shared, script, T=5)
+
+
+def test_vp_differential_bbox_prompt(shared):
+    """add_new_bbox: box -> two corner points labeled 2/3."""
+    script = [("bbox", 0, 0, np.array([[75.0, 80.0], [145.0, 150.0]])),
+              ("bbox", 0, 1, np.array([[30.0, 160.0], [90.0, 220.0]]))]
+    run_case(shared, script, T=5)
