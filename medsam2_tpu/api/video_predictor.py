@@ -79,7 +79,12 @@ class SAM2VideoPredictor:
         self._scan_run = jax.jit(
             functools.partial(_scan_track_run, cfg=cfg),
             static_argnames=("spec", "is_eval", "num_frames",
-                             "track_in_reverse", "kv_storage"),
+                             "track_in_reverse", "kv_storage", "collect_ptrs"),
+        )
+        self._corr_step = jax.jit(
+            functools.partial(_correction_step, cfg=cfg),
+            static_argnames=("spec", "multimask_output", "is_eval",
+                             "num_frames", "track_in_reverse", "kv_storage"),
         )
 
     def _session_spec(self, state) -> mb.BankSpec:
@@ -127,9 +132,12 @@ class SAM2VideoPredictor:
         ``utils/misc.py:104-160``); the video materializes lazily at first use.
         ``offload_video_to_cpu``: keep the video in host memory and transfer it
         per propagation call instead of pinning it in HBM.
-        ``offload_state_to_cpu``: accepted for signature parity; session state
-        here is host-side by construction (prompts are numpy, the memory bank
-        is created per propagation inside jit), so there is nothing to offload.
+        ``offload_state_to_cpu``: keep the retained per-frame outputs (the
+        mask logits / pointers that correction clicks decode against) in host
+        memory instead of as device slices — one extra device->host transfer
+        per propagation, like the reference's storage_device=cpu mode
+        (``sam2_video_predictor.py:140-144``). Prompts and the rest of the
+        session state are host-side by construction either way.
         """
         loader = None
         if images is None:
@@ -164,6 +172,7 @@ class SAM2VideoPredictor:
             "images": imgs,                     # [T, S, S, 3] normalized
             "async_loader": loader,
             "offload_video": bool(offload_video_to_cpu),
+            "offload_state": bool(offload_state_to_cpu),
             "num_frames": num_frames,
             "video_height": int(video_height),
             "video_width": int(video_width),
@@ -177,6 +186,13 @@ class SAM2VideoPredictor:
             # but written to the non-cond ring (sam2_video_predictor.py:292-341)
             "noncond_prompt_frame_idx": set(),
             "tracked": False,
+            # per-frame tracking record + retained outputs, mirroring the
+            # reference's frames_already_tracked / output_dict: corrections on
+            # a tracked frame decode against its previous mask logits and
+            # pointers (sam2_video_predictor.py:293-399)
+            "frames_tracked": {},           # {frame: reverse bool}
+            "last_masks": {},               # {frame: np [B, 1, h4, w4]}
+            "last_ptrs": {},                # {frame: np [B, C]}
             "is_eval": True,
         }
         return state
@@ -214,6 +230,9 @@ class SAM2VideoPredictor:
         state["cond_frame_idx"] = set()
         state["noncond_prompt_frame_idx"] = set()
         state["tracked"] = False
+        state["frames_tracked"] = {}
+        state["last_masks"] = {}
+        state["last_ptrs"] = {}
 
     # ------------------------------------------------------------------
     # Prompts (add_new_points :292 / add_new_bbox :425 / add_new_mask :556)
@@ -255,12 +274,14 @@ class SAM2VideoPredictor:
         return self._preview(state, frame_idx)
 
     def _record_prompt_frame(self, state, frame_idx: int) -> None:
-        """Classify a prompted frame as conditioning or not. The reference
-        marks correction prompts on already-tracked frames as conditioning
-        only when ``add_all_frames_to_correct_as_cond`` is set
-        (``sam2_video_predictor.py:292-341``); otherwise the corrected frame's
-        memory goes to the non-cond ring."""
-        if (state["tracked"]
+        """Classify a prompted frame as conditioning or not. The reference's
+        test is per frame: a prompt on a frame *not yet tracked* is an initial
+        conditioning frame even after tracking has started
+        (``is_init_cond_frame = frame_idx not in frames_already_tracked``,
+        ``sam2_video_predictor.py:292-341``); prompts on tracked frames are
+        corrections and go to the non-cond ring unless
+        ``add_all_frames_to_correct_as_cond`` is set."""
+        if (frame_idx in state.get("frames_tracked", {})
                 and not self.cfg.add_all_frames_to_correct_as_cond
                 and frame_idx not in state["cond_frame_idx"]):
             state["noncond_prompt_frame_idx"].add(frame_idx)
@@ -354,21 +375,31 @@ class SAM2VideoPredictor:
 
         # --- preflight: process prompt frames, write cond memories ---
         cond_outputs = {}
+        cond_ptrs = {}
         for f in cond_frames:
             out, bank = self._run_prompt_frame(state, bank, f, spec)
             cond_outputs[f] = out["pred_masks"]
-        # correction frames (add_all_frames_to_correct_as_cond=False): their
-        # prompted outputs are reused in the scan but the memory they write
-        # lives in the non-cond ring; keep their memory tensors so a full
-        # re-propagation can restore the ring slot when the scan passes them
-        # (the reference's unbounded per-frame dict never collides,
-        # sam2_video_predictor.py:1092-1096)
+            cond_ptrs[f] = out["obj_ptr"]
+        # Correction frames (add_all_frames_to_correct_as_cond=False) decode
+        # at their scan position via _correction_step: there the ring holds
+        # exactly the memories of the frames tracked before them, which (the
+        # re-propagation being deterministic) equals the reference's per-frame
+        # output dict at click time, so the memory-conditioned re-prompt with
+        # prev mask logits matches sam2_video_predictor.py:293-399. Only
+        # assemble their host inputs now. A correction without retained
+        # previous outputs (legacy sessions) falls back to the memoryless
+        # prompt decode + ring-slot restore.
+        corr_inputs = {}
         corr_mem = {}
         for f in sorted(state.get("noncond_prompt_frame_idx", set())):
-            out, bank = self._run_prompt_frame(state, bank, f, spec,
-                                               write_cond=False)
-            cond_outputs[f] = out["pred_masks"]
-            corr_mem[f] = (out["maskmem_features"], out["obj_ptr"])
+            if f in state.get("last_masks", {}):
+                corr_inputs[f] = self._assemble_correction(state, f)
+            else:
+                out, bank = self._run_prompt_frame(state, bank, f, spec,
+                                                   write_cond=False)
+                cond_outputs[f] = out["pred_masks"]
+                cond_ptrs[f] = out["obj_ptr"]
+                corr_mem[f] = (out["maskmem_features"], out["obj_ptr"])
 
         # --- frame order (sam2_video_predictor.py:1063-1079: both directions
         # span max_frame_num_to_track+1 frames inclusive of the start frame;
@@ -396,26 +427,42 @@ class SAM2VideoPredictor:
         # there (the reference's unbounded per-frame dict never collides,
         # sam2_video_predictor.py:1092-1096).
         seg_masks = []
+        seg_ptrs = []
         run: list = []
+        kv_on = self.use_kcache and _kv_storage_enabled()
 
         def flush_run():
             nonlocal bank
             if run:
-                m, bank = self._scan_run(
+                (m, p), bank = self._scan_run(
                     self.params, images, bank,
                     jnp.asarray(run, jnp.int32), pos_kcache,
-                    kv_storage=self.use_kcache and _kv_storage_enabled(),
-                    **kw)
+                    kv_storage=kv_on, collect_ptrs=True, **kw)
                 seg_masks.append(m)
+                seg_ptrs.append(p)
                 run.clear()
 
         for f in order:
+            if f in corr_inputs:
+                flush_run()
+                (coords_f, labels_f, mask_f, use_mask_f, corrected_f,
+                 prev_low, prev_ptr, multimask) = corr_inputs[f]
+                out, bank = self._corr_step(
+                    self.params, images, bank, jnp.asarray(f, jnp.int32),
+                    coords_f, labels_f, mask_f, use_mask_f, corrected_f,
+                    prev_low, prev_ptr, pos_kcache=pos_kcache,
+                    multimask_output=multimask, kv_storage=kv_on, **kw)
+                seg_masks.append(out["pred_masks"].astype(jnp.float32)[None])
+                seg_ptrs.append(out["obj_ptr"].astype(jnp.float32)[None])
+                continue
             if f not in cond_outputs:
                 run.append(f)
                 continue
             flush_run()
             seg_masks.append(
                 jnp.asarray(cond_outputs[f], jnp.float32)[None])
+            seg_ptrs.append(
+                jnp.asarray(cond_ptrs[f], jnp.float32)[None])
             if f in corr_mem:
                 feats_f, ptr_f = corr_mem[f]
                 kcache_f = None
@@ -431,9 +478,61 @@ class SAM2VideoPredictor:
                                      feats_f, ptr_f, is_cond=False,
                                      kcache=kcache_f)
         flush_run()
-        return order, jnp.concatenate(seg_masks, axis=0)
+        masks = jnp.concatenate(seg_masks, axis=0)
+        ptrs = jnp.concatenate(seg_ptrs, axis=0)
+        # Retain per-frame outputs so later correction clicks can decode
+        # against them, mirroring the reference's frames_already_tracked /
+        # output_dict retention: lazy device slices by default, or host
+        # copies under offload_state_to_cpu (one transfer per propagation).
+        keep_m, keep_p = masks, ptrs
+        if state.get("offload_state"):
+            keep_m, keep_p = np.asarray(masks), np.asarray(ptrs)
+        for i, f in enumerate(order):
+            state["frames_tracked"][f] = reverse
+            state["last_masks"][f] = keep_m[i]
+            state["last_ptrs"][f] = keep_p[i]
+        return order, masks
 
     # ------------------------------------------------------------------
+
+    def _assemble_correction(self, state, frame_idx):
+        """Host inputs for a correction frame: padded point prompts, per-object
+        corrected/use_mask flags, and the frame's retained previous outputs.
+        Iterative clicking between propagations merges into one decode here
+        (the reference compounds decodes through its temp dict instead,
+        ``sam2_video_predictor.py:355-366`` — the fork's engines never do
+        that); the decodes agree whenever each frame is corrected once per
+        propagation round."""
+        B = len(state["obj_ids"])
+        S = self.cfg.image_size
+        P = max(1, min(self.cfg.max_prompt_points, max(
+            (len(state["point_inputs_per_obj"][o].get(frame_idx, ((), ()))[1])
+             for o in range(B)), default=1)))
+        coords = np.zeros((B, P, 2), np.float32)
+        labels = -np.ones((B, P), np.int32)
+        mask_inputs = np.zeros((B, S, S, 1), np.float32)
+        use_mask = np.zeros((B,), bool)
+        corrected = np.zeros((B,), bool)
+        max_pts = 0
+        for o in range(B):
+            pts = state["point_inputs_per_obj"][o].get(frame_idx)
+            msk = state["mask_inputs_per_obj"][o].get(frame_idx)
+            if pts is not None:
+                c, l = pts
+                n = min(len(l), P)
+                coords[o, :n] = c[:n]
+                labels[o, :n] = l[:n]
+                corrected[o] = True
+                max_pts = max(max_pts, n)
+            elif msk is not None:
+                mask_inputs[o, :, :, 0] = msk
+                use_mask[o] = True
+        multimask = sam2_model.use_multimask(self.cfg, False, max_pts)
+        prev_low = jnp.asarray(state["last_masks"][frame_idx], jnp.float32)
+        prev_ptr = jnp.asarray(state["last_ptrs"][frame_idx], jnp.float32)
+        return (jnp.asarray(coords), jnp.asarray(labels),
+                jnp.asarray(mask_inputs), jnp.asarray(use_mask),
+                jnp.asarray(corrected), prev_low, prev_ptr, multimask)
 
     def _run_prompt_frame(self, state, bank, frame_idx, spec=None,
                           write_cond: bool = True):
@@ -586,10 +685,87 @@ def _prompt_step(params, images, bank, frame_idx, coords, labels, mask_inputs,
     return out, bank
 
 
+def _correction_step(params, images, bank, frame_idx, coords, labels,
+                     mask_inputs, use_mask, corrected, prev_low, prev_ptr, *,
+                     cfg: SAM2Config, spec: mb.BankSpec,
+                     multimask_output: bool, is_eval: bool, num_frames: int,
+                     track_in_reverse: bool, pos_kcache=None,
+                     kv_storage: bool = False):
+    """Correction-frame step, matching the reference's re-prompt semantics
+    (``sam2_video_predictor.py:293-399`` + the preflight consolidation,
+    ``:746-897``): point-corrected objects decode *memory-conditioned* with
+    their previous mask logits (clamped to +/-32) fed back as a mask prompt;
+    mask-corrected objects take the direct mask-as-output path; objects not
+    re-prompted on this frame keep their previous tracked output. The
+    selected masks are re-encoded (``is_mask_from_pts=True`` for every
+    object, as the reference consolidation does) and written to the non-cond
+    ring at this frame's scan position, where the bank state equals the
+    reference's per-frame dict for a deterministic re-propagation.
+
+    prev_low: the frame's mask logits from the previous propagation
+    [B, 1, h4, w4]; prev_ptr: its object pointers [B, C].
+    """
+    B = coords.shape[0]
+    frame = _select_frame(images, frame_idx)
+    feats, pos = _encode_frame(params, frame, cfg=cfg)
+    feats, pos = _expand_to_objects(feats, pos, B)
+    high_res = feats[:-1] if len(feats) > 1 else None
+
+    pix_with_mem = sam2_model.prepare_memory_conditioned_features(
+        params, cfg, spec, bank, frame_idx, False,
+        feats[-1], pos[-1], track_in_reverse=track_in_reverse,
+        num_frames=num_frames, is_eval=is_eval, pos_kcache=pos_kcache,
+        kv_storage=kv_storage,
+    )
+    # previous logits re-fed as a mask prompt, clamped like the reference's
+    # prev_sam_mask_logits (sam2_video_predictor.py:362-366)
+    prev_prompt = jnp.clip(prev_low.astype(jnp.float32), -32.0, 32.0)
+    point_out = sam2_model.forward_sam_heads(
+        params, cfg, pix_with_mem,
+        point_inputs={"point_coords": coords, "point_labels": labels},
+        mask_inputs=prev_prompt.transpose(0, 2, 3, 1),
+        high_res_features=high_res, multimask_output=multimask_output,
+        eval_dynamic_multimask=is_eval,
+    )
+    mask_out = sam2_model.use_mask_as_output(params, cfg, feats[-1], high_res,
+                                             mask_inputs)
+    prev_high = layers.interpolate(
+        prev_low.astype(jnp.float32).transpose(0, 2, 3, 1),
+        (cfg.image_size, cfg.image_size), method="bilinear",
+    ).transpose(0, 3, 1, 2)
+
+    def sel(point_v, mask_v, prev_v):
+        shape = (B,) + (1,) * (point_v.ndim - 1)
+        return jnp.where(use_mask.reshape(shape), mask_v,
+                         jnp.where(corrected.reshape(shape), point_v, prev_v))
+
+    low_res = sel(point_out.low_res_masks, mask_out.low_res_masks,
+                  prev_low.astype(jnp.float32))
+    high_res_masks = sel(point_out.high_res_masks, mask_out.high_res_masks,
+                         prev_high)
+    obj_ptr = sel(point_out.obj_ptr, mask_out.obj_ptr, prev_ptr)
+
+    maskmem_features, _ = sam2_model.encode_new_memory(
+        params, cfg, feats[-1], high_res_masks,
+        is_mask_from_pts=True, binarize=is_eval,
+        apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
+    )
+    kcache = None
+    if "kcache" in bank:
+        from medsam2_tpu.core.memory import precompute_memory_kcache
+        mem_h = cfg.sam_image_embedding_size
+        kcache = precompute_memory_kcache(
+            params["memory_attention"], cfg.memory_attention, maskmem_features,
+            (mem_h, mem_h), dtype=bank["kcache"].dtype)
+    bank = mb.write_bank(spec, bank, frame_idx, maskmem_features, obj_ptr,
+                         is_cond=False, kcache=kcache)
+    return {"pred_masks": low_res, "obj_ptr": obj_ptr}, bank
+
+
 def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,
                     cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool,
                     num_frames: int, track_in_reverse: bool,
-                    kv_storage: bool = False):
+                    kv_storage: bool = False, collect_ptrs: bool = False):
     """Branch-free ``lax.scan`` over a run of consecutive NON-cond frames.
 
     The cond/non-cond split is host-static (prompt frames are recorded in the
@@ -598,7 +774,10 @@ def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,
     runs and splices stored cond-frame masks between them. This both removes
     the select machinery from the scan body and skips the (discarded) encoder
     pass the unified body paid on every cond frame. Returns
-    (low-res mask logits [L, B, 1, h4, w4], bank).
+    (low-res mask logits [L, B, 1, h4, w4], bank), or
+    ((masks, obj_ptrs [L, B, C]), bank) with ``collect_ptrs`` (the predictor
+    retains per-frame pointers so later correction clicks can fall back to
+    them, mirroring the reference's per-frame output dict).
     """
     B = bank["cond_feats"].shape[0]
     from medsam2_tpu.core.hiera import _get_pos_embed
@@ -621,10 +800,13 @@ def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,
             num_frames=num_frames, is_eval=is_eval,
             pos_kcache=pos_kcache, kv_storage=kv_storage,
         )
-        return bank, out["pred_masks"].astype(jnp.float32)
+        masks = out["pred_masks"].astype(jnp.float32)
+        if collect_ptrs:
+            return bank, (masks, out["obj_ptr"].astype(jnp.float32))
+        return bank, masks
 
-    bank, masks = jax.lax.scan(body, bank, frame_order)
-    return masks, bank
+    bank, ys = jax.lax.scan(body, bank, frame_order)
+    return ys, bank
 
 
 def _scan_track(params, images, bank, frame_order, is_cond, stored_masks,

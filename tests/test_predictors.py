@@ -214,7 +214,7 @@ def test_correction_frames_noncond_vs_cond(tiny_params):
     state = pred.init_state(images=video)
     pred.add_new_points(state, frame_idx=0, obj_id=1,
                         points=np.array([[16.0, 28.0]]), labels=np.array([1]))
-    pred.propagate_in_video_batch(state)
+    frames1, masks1 = pred.propagate_in_video_batch(state)
     pred.add_new_points(state, frame_idx=3, obj_id=1,
                         points=np.array([[28.0, 28.0]]), labels=np.array([1]))
     assert state["cond_frame_idx"] == {0}
@@ -222,9 +222,17 @@ def test_correction_frames_noncond_vs_cond(tiny_params):
     frames, masks = pred.propagate_in_video_batch(state)
     assert frames == [0, 1, 2, 3, 4, 5]
     assert masks.shape == (6, 1, 1, 16, 16)
-    # the corrected frame's output is the prompt-step output, not a tracked one
+    # frames before the correction re-track identically...
+    np.testing.assert_allclose(np.asarray(masks[:3]), np.asarray(masks1[:3]),
+                               rtol=1e-4, atol=1e-5)
+    # ...the corrected frame decodes memory-conditioned with its previous mask
+    # logits re-fed (sam2_video_predictor.py:293-399) — NOT the memoryless
+    # prompt-step preview, and changed from the uncorrected pass
     _, _, preview = pred._preview(state, 3)
-    np.testing.assert_allclose(np.asarray(masks[3]), preview, rtol=1e-4, atol=1e-5)
+    m3 = np.asarray(masks[3])
+    assert np.isfinite(m3).all()
+    assert not np.allclose(m3, preview, rtol=1e-3, atol=1e-4)
+    assert not np.allclose(m3, np.asarray(masks1[3]), rtol=1e-3, atol=1e-4)
 
     # True: correction becomes a cond frame
     cfg_cond = dataclasses.replace(TINY, add_all_frames_to_correct_as_cond=True)

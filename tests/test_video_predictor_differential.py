@@ -144,12 +144,16 @@ def compare(ref_out, our_out, script, tol=2e-3):
         r, o = ref_out[f], our_out[f]
         assert r.shape == o.shape, (f, r.shape, o.shape)
         for obj in range(r.shape[0]):
-            if f in prompted and obj not in prompted[f]:
-                # missing object on an interacted frame: the reference stores a
-                # NO_OBJ_SCORE (-1024) placeholder; ours decodes an empty mask.
-                # The logit values differ by construction; both must be
-                # everywhere-negative (empty object).
-                assert r[obj].max() < 0 and o[obj].max() < 0, (f, obj)
+            if (f in prompted and obj not in prompted[f]
+                    and r[obj].max() <= -1000.0):
+                # object with no prompt AND no previous output on an
+                # interacted frame: the reference stores a NO_OBJ_SCORE
+                # (-1024) placeholder; ours decodes an empty mask. The logit
+                # values differ by construction; both must be everywhere-
+                # negative (empty object). (An unprompted object with a prior
+                # tracked output falls back to that output in both
+                # implementations and takes the full comparison below.)
+                assert o[obj].max() < 0, (f, obj)
                 continue
             rel = np.abs(r[obj] - o[obj]) / np.maximum(np.abs(r[obj]), 1.0)
             assert rel.max() < tol, (
@@ -239,3 +243,43 @@ def test_vp_differential_bbox_prompt(shared):
     script = [("bbox", 0, 0, np.array([[75.0, 80.0], [145.0, 150.0]])),
               ("bbox", 0, 1, np.array([[30.0, 160.0], [90.0, 220.0]]))]
     run_case(shared, script, T=5)
+
+
+def test_vp_differential_correction_click(shared):
+    """Correction click on an already-tracked frame, then re-propagation:
+    the corrected frame decodes memory-conditioned with the previous mask
+    logits (clamped +/-32) re-fed as a mask prompt, its consolidated output
+    is re-encoded into non-cond memory, and downstream frames re-track
+    against it (sam2_video_predictor.py:293-399 + preflight :901-970)."""
+    cfg, ref, ours = shared
+    T = 6
+    video = make_video(T=T, S=cfg.image_size, seed=0)
+    script = [("points", 0, 0, _sq_click(0)),
+              ("points", 0, 1, _disc_click(0))]
+    # pass 1: prompt + propagate on both (fills tracked-frame records)
+    ref_state = ref.val_init_state(torch.from_numpy(video * 255.0))
+    _apply_script(ref, ref_state, script, is_ref=True)
+    for _ in ref.propagate_in_video(ref_state):
+        pass
+    our_state = ours.val_init_state(video)
+    _apply_script(ours, our_state, script, is_ref=False)
+    for _ in ours.propagate_in_video(our_state):
+        pass
+    # correction: positive + negative click on obj 0 at tracked frame 3
+    x = 40 + 12 * 3 + 35
+    corr = (np.array([[x, 110.0], [x - 50, 115.0]], np.float32),
+            np.array([1, 0], np.int32))
+    ref.add_new_points(ref_state, 3, 0, torch.tensor(corr[0]),
+                       torch.tensor(corr[1]))
+    ours.add_new_points(our_state, 3, 0, corr[0], corr[1])
+    # pass 2: re-propagation must agree everywhere (frame 3 via the
+    # correction decode, frames 4+ via re-tracking against its memory)
+    ref_out = {}
+    for f, _ids, m in ref.propagate_in_video(ref_state):
+        ref_out[f] = m.clone().float().numpy()
+    our_out = {}
+    for f, _ids, m in ours.propagate_in_video(our_state):
+        our_out[f] = np.asarray(m, np.float32)
+    compare(ref_out, our_out, script + [("points", 3, 0, corr)])
+    # the correction must actually change frame 3's mask (not a no-op pin)
+    assert not np.allclose(ref_out[3][0], ref_out[2][0], atol=1e-3)
