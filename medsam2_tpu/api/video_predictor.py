@@ -49,7 +49,20 @@ def _kv_storage_enabled() -> bool:
 class SAM2VideoPredictor:
     def __init__(self, params, cfg: SAM2Config, max_cond_frames: int = 8,
                  fill_hole_area: int = 0, non_overlap_masks: bool = False,
-                 use_kcache: bool = True):
+                 use_kcache: bool = True,
+                 clear_non_cond_mem_around_input: bool = False,
+                 clear_non_cond_mem_for_multi_obj: bool = False):
+        # signature parity with the reference predictor
+        # (sam2_video_predictor.py:20-37); the clear-around-input behavior is
+        # readout-time masking the ring does not implement — reject loudly
+        # rather than silently ignore a semantics-changing flag.
+        if clear_non_cond_mem_around_input or clear_non_cond_mem_for_multi_obj:
+            raise NotImplementedError(
+                "clear_non_cond_mem_around_input is not supported: every "
+                "re-propagation here recomputes non-cond memories from "
+                "scratch, so there is no stale surrounding memory to clear; "
+                "the reference's click-time clearing of its persistent dict "
+                "has no ring-buffer equivalent.")
         self.params = params
         self.cfg = cfg
         self.max_cond_frames = max_cond_frames

@@ -200,6 +200,17 @@ def test_max_cond_frames_in_attn_caps_bank(tiny_params):
     assert masks.shape[0] == 6
 
 
+def test_clear_non_cond_mem_flags_rejected(tiny_params):
+    """Signature parity with sam2_video_predictor.py:20-37: the clear-around-
+    input kwargs are accepted positionally but a non-default value raises
+    instead of being silently ignored."""
+    SAM2VideoPredictor(tiny_params, TINY, clear_non_cond_mem_around_input=False,
+                       clear_non_cond_mem_for_multi_obj=False)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        SAM2VideoPredictor(tiny_params, TINY, clear_non_cond_mem_around_input=True)
+
+
 def test_correction_frames_noncond_vs_cond(tiny_params):
     """add_all_frames_to_correct_as_cond: with the default (False) a prompt on
     an already-tracked frame is processed in preflight but its memory goes to
