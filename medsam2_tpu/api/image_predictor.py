@@ -3,9 +3,11 @@
 
 ``set_image`` encodes once and caches features (with ``no_mem_embed`` added to
 the lowest-res level, ``sam2_image_predictor.py:99-107``); ``predict`` runs the
-prompt encoder + mask decoder under a single jit trace per (point-slot count,
-multimask) signature — prompts are padded to the next power-of-two slot count
-so click-by-click interaction reuses traces.
+prompt encoder + mask decoder under one jit trace per (point count, multimask)
+signature. Prompts are NOT padded to shared slot counts: an extra padded
+sentinel token measurably shifts the decoder's attention off the reference
+arithmetic (see ``_prep_prompts``), and interactive use keeps the number of
+distinct prompt counts — and hence traces — small.
 """
 
 from __future__ import annotations

@@ -99,6 +99,10 @@ class SAM2VideoPredictor:
             static_argnames=("spec", "multimask_output", "is_eval",
                              "num_frames", "track_in_reverse", "kv_storage"),
         )
+        self._reencode = jax.jit(
+            functools.partial(_reencode_correction, cfg=cfg),
+            static_argnames=("spec", "is_eval"),
+        )
 
     def _session_spec(self, state) -> mb.BankSpec:
         """Bank spec sized to the session's prompt count (capped at the
@@ -204,8 +208,16 @@ class SAM2VideoPredictor:
             # a tracked frame decode against its previous mask logits and
             # pointers (sam2_video_predictor.py:293-399)
             "frames_tracked": {},           # {frame: reverse bool}
-            "last_masks": {},               # {frame: np [B, 1, h4, w4]}
-            "last_ptrs": {},                # {frame: np [B, C]}
+            # retained outputs as (stacked array, row) refs — slicing is
+            # deferred to correction time so retention costs no per-frame
+            # gather dispatches over the device link
+            "last_masks": {},               # {frame: (arr [T,B,1,h4,w4], row)}
+            "last_ptrs": {},                # {frame: (arr [T,B,C], row)}
+            # correction frames whose decode has been consumed by a previous
+            # propagation: later rounds reuse the stored output instead of
+            # re-decoding (the reference's consolidated_frame_inds,
+            # sam2_video_predictor.py:1086-1096) — new clicks un-consolidate
+            "corr_consolidated": set(),
             "is_eval": True,
         }
         return state
@@ -246,6 +258,7 @@ class SAM2VideoPredictor:
         state["frames_tracked"] = {}
         state["last_masks"] = {}
         state["last_ptrs"] = {}
+        state["corr_consolidated"] = set()
 
     # ------------------------------------------------------------------
     # Prompts (add_new_points :292 / add_new_bbox :425 / add_new_mask :556)
@@ -294,6 +307,9 @@ class SAM2VideoPredictor:
         ``sam2_video_predictor.py:292-341``); prompts on tracked frames are
         corrections and go to the non-cond ring unless
         ``add_all_frames_to_correct_as_cond`` is set."""
+        # new clicks on a consolidated correction frame re-open it: the next
+        # propagation decodes it fresh against the retained (corrected) logits
+        state.setdefault("corr_consolidated", set()).discard(frame_idx)
         if (frame_idx in state.get("frames_tracked", {})
                 and not self.cfg.add_all_frames_to_correct_as_cond
                 and frame_idx not in state["cond_frame_idx"]):
@@ -395,24 +411,32 @@ class SAM2VideoPredictor:
             cond_ptrs[f] = out["obj_ptr"]
         # Correction frames (add_all_frames_to_correct_as_cond=False) decode
         # at their scan position via _correction_step: there the ring holds
-        # exactly the memories of the frames tracked before them, which (the
-        # re-propagation being deterministic) equals the reference's per-frame
-        # output dict at click time, so the memory-conditioned re-prompt with
-        # prev mask logits matches sam2_video_predictor.py:293-399. Only
-        # assemble their host inputs now. A correction without retained
-        # previous outputs (legacy sessions) falls back to the memoryless
-        # prompt decode + ring-slot restore.
+        # the memories of the frames re-tracked before them, which (the
+        # re-propagation being deterministic) equals the reference's
+        # per-frame output dict at click time — exactly when the round has a
+        # single fresh correction. With several fresh corrections in one
+        # round, a later correction sees the earlier ones' re-encoded
+        # memories, whereas the reference's click-time decodes all read the
+        # pre-correction state (documented in MIGRATION). Already-consumed
+        # corrections reuse their stored decode (the reference's
+        # consolidated_frame_inds): only the memory is re-encoded from the
+        # stored mask, so repeated propagation is idempotent. A correction
+        # without retained previous outputs (legacy sessions) falls back to
+        # the memoryless prompt decode + ring-slot restore.
         corr_inputs = {}
+        corr_reuse = {}
         corr_mem = {}
         for f in sorted(state.get("noncond_prompt_frame_idx", set())):
-            if f in state.get("last_masks", {}):
-                corr_inputs[f] = self._assemble_correction(state, f)
-            else:
+            if f not in state.get("last_masks", {}):
                 out, bank = self._run_prompt_frame(state, bank, f, spec,
                                                    write_cond=False)
                 cond_outputs[f] = out["pred_masks"]
                 cond_ptrs[f] = out["obj_ptr"]
                 corr_mem[f] = (out["maskmem_features"], out["obj_ptr"])
+            elif f in state.get("corr_consolidated", set()):
+                corr_reuse[f] = self._last_output(state, f)
+            else:
+                corr_inputs[f] = self._assemble_correction(state, f)
 
         # --- frame order (sam2_video_predictor.py:1063-1079: both directions
         # span max_frame_num_to_track+1 frames inclusive of the start frame;
@@ -460,13 +484,28 @@ class SAM2VideoPredictor:
                 flush_run()
                 (coords_f, labels_f, mask_f, use_mask_f, corrected_f,
                  prev_low, prev_ptr, multimask) = corr_inputs[f]
+                # decode in the direction the frame was originally tracked
+                # (frames_already_tracked[...]["reverse"] at the reference's
+                # click-time decode, sam2_video_predictor.py:339-343)
+                corr_kw = dict(kw)
+                corr_kw["track_in_reverse"] = bool(
+                    state["frames_tracked"].get(f, reverse))
                 out, bank = self._corr_step(
                     self.params, images, bank, jnp.asarray(f, jnp.int32),
                     coords_f, labels_f, mask_f, use_mask_f, corrected_f,
                     prev_low, prev_ptr, pos_kcache=pos_kcache,
-                    multimask_output=multimask, kv_storage=kv_on, **kw)
+                    multimask_output=multimask, kv_storage=kv_on, **corr_kw)
                 seg_masks.append(out["pred_masks"].astype(jnp.float32)[None])
                 seg_ptrs.append(out["obj_ptr"].astype(jnp.float32)[None])
+                continue
+            if f in corr_reuse:
+                flush_run()
+                prev_low, prev_ptr = corr_reuse[f]
+                bank = self._reencode(
+                    self.params, images, bank, jnp.asarray(f, jnp.int32),
+                    prev_low, prev_ptr, spec=spec, is_eval=state["is_eval"])
+                seg_masks.append(prev_low[None])
+                seg_ptrs.append(prev_ptr[None])
                 continue
             if f not in cond_outputs:
                 run.append(f)
@@ -495,18 +534,41 @@ class SAM2VideoPredictor:
         ptrs = jnp.concatenate(seg_ptrs, axis=0)
         # Retain per-frame outputs so later correction clicks can decode
         # against them, mirroring the reference's frames_already_tracked /
-        # output_dict retention: lazy device slices by default, or host
-        # copies under offload_state_to_cpu (one transfer per propagation).
+        # output_dict retention. Stored as (stacked array, row) refs — the
+        # stack stays one device array (or one host copy under
+        # offload_state_to_cpu); slicing is deferred to correction time.
         keep_m, keep_p = masks, ptrs
         if state.get("offload_state"):
             keep_m, keep_p = np.asarray(masks), np.asarray(ptrs)
         for i, f in enumerate(order):
             state["frames_tracked"][f] = reverse
-            state["last_masks"][f] = keep_m[i]
-            state["last_ptrs"][f] = keep_p[i]
+            state["last_masks"][f] = (keep_m, i)
+            state["last_ptrs"][f] = (keep_p, i)
+        # fresh corrections decoded this round are now consolidated: later
+        # rounds reuse their stored output instead of re-applying the clicks
+        state.setdefault("corr_consolidated", set()).update(
+            f for f in corr_inputs if f in set(order))
+        missed = (set(corr_inputs) | set(corr_reuse)) - set(order)
+        if missed:
+            import warnings
+            warnings.warn(
+                f"corrections on frames {sorted(missed)} are outside this "
+                "propagation's frame order and had no effect; memory here is "
+                "rebuilt per call from the frames it processes (the reference "
+                "keeps a persistent per-frame dict instead) — re-propagate "
+                "with an order covering them.", stacklevel=2)
         return order, masks
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _last_output(state, frame_idx):
+        """The frame's retained (mask logits [B,1,h4,w4], obj ptr [B,C]) from
+        the most recent propagation that covered it."""
+        arr_m, i = state["last_masks"][frame_idx]
+        arr_p, j = state["last_ptrs"][frame_idx]
+        return (jnp.asarray(arr_m[i], jnp.float32),
+                jnp.asarray(arr_p[j], jnp.float32))
 
     def _assemble_correction(self, state, frame_idx):
         """Host inputs for a correction frame: padded point prompts, per-object
@@ -541,8 +603,7 @@ class SAM2VideoPredictor:
                 mask_inputs[o, :, :, 0] = msk
                 use_mask[o] = True
         multimask = sam2_model.use_multimask(self.cfg, False, max_pts)
-        prev_low = jnp.asarray(state["last_masks"][frame_idx], jnp.float32)
-        prev_ptr = jnp.asarray(state["last_ptrs"][frame_idx], jnp.float32)
+        prev_low, prev_ptr = self._last_output(state, frame_idx)
         return (jnp.asarray(coords), jnp.asarray(labels),
                 jnp.asarray(mask_inputs), jnp.asarray(use_mask),
                 jnp.asarray(corrected), prev_low, prev_ptr, multimask)
@@ -773,6 +834,37 @@ def _correction_step(params, images, bank, frame_idx, coords, labels,
     bank = mb.write_bank(spec, bank, frame_idx, maskmem_features, obj_ptr,
                          is_cond=False, kcache=kcache)
     return {"pred_masks": low_res, "obj_ptr": obj_ptr}, bank
+
+
+def _reencode_correction(params, images, bank, frame_idx, prev_low, prev_ptr,
+                         *, cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool):
+    """Re-encode a consolidated correction frame's memory from its stored
+    decode (mask logits + pointer) and write it to the non-cond ring — no
+    re-decode, so repeated propagation reuses the click-time result exactly
+    like the reference's consolidated_frame_inds path
+    (``sam2_video_predictor.py:1086-1096``). Returns the updated bank."""
+    B = prev_low.shape[0]
+    frame = _select_frame(images, frame_idx)
+    feats, pos = _encode_frame(params, frame, cfg=cfg)
+    feats, _ = _expand_to_objects(feats, pos, B)
+    prev_high = layers.interpolate(
+        prev_low.astype(jnp.float32).transpose(0, 2, 3, 1),
+        (cfg.image_size, cfg.image_size), method="bilinear",
+    ).transpose(0, 3, 1, 2)
+    maskmem_features, _ = sam2_model.encode_new_memory(
+        params, cfg, feats[-1], prev_high,
+        is_mask_from_pts=True, binarize=is_eval,
+        apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
+    )
+    kcache = None
+    if "kcache" in bank:
+        from medsam2_tpu.core.memory import precompute_memory_kcache
+        mem_h = cfg.sam_image_embedding_size
+        kcache = precompute_memory_kcache(
+            params["memory_attention"], cfg.memory_attention, maskmem_features,
+            (mem_h, mem_h), dtype=bank["kcache"].dtype)
+    return mb.write_bank(spec, bank, frame_idx, maskmem_features, prev_ptr,
+                         is_cond=False, kcache=kcache)
 
 
 def _scan_track_run(params, images, bank, frame_order, pos_kcache=None, *,

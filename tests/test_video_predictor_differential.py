@@ -283,3 +283,19 @@ def test_vp_differential_correction_click(shared):
     compare(ref_out, our_out, script + [("points", 3, 0, corr)])
     # the correction must actually change frame 3's mask (not a no-op pin)
     assert not np.allclose(ref_out[3][0], ref_out[2][0], atol=1e-3)
+    # pass 3 (no new clicks): repeated propagation is idempotent — the
+    # reference reuses the consolidated correction decode
+    # (consolidated_frame_inds, sam2_video_predictor.py:1086-1096) and so
+    # must we, instead of re-applying the clicks on top of pass 2's output
+    ref_out3 = {}
+    for f, _ids, m in ref.propagate_in_video(ref_state):
+        ref_out3[f] = m.clone().float().numpy()
+    our_out3 = {}
+    for f, _ids, m in ours.propagate_in_video(our_state):
+        our_out3[f] = np.asarray(m, np.float32)
+    for f in ref_out:
+        np.testing.assert_allclose(ref_out3[f], ref_out[f], rtol=1e-5,
+                                   atol=1e-6)
+        np.testing.assert_allclose(our_out3[f], our_out[f], rtol=1e-5,
+                                   atol=1e-6)
+    compare(ref_out3, our_out3, script + [("points", 3, 0, corr)])
