@@ -101,7 +101,7 @@ class SAM2VideoPredictor:
         )
         self._reencode = jax.jit(
             functools.partial(_reencode_correction, cfg=cfg),
-            static_argnames=("spec", "is_eval"),
+            static_argnames=("spec", "is_eval", "mask_from_pts"),
         )
 
     def _session_spec(self, state) -> mb.BankSpec:
@@ -455,6 +455,39 @@ class SAM2VideoPredictor:
         kw = dict(spec=spec, is_eval=state["is_eval"], num_frames=num_frames,
                   track_in_reverse=reverse)
 
+        # --- resume window: when the order starts past frames tracked in a
+        # previous round, re-encode the ring-window of preceding frames from
+        # their stored outputs so the readout sees them — matching the
+        # reference, whose persistent output_dict still holds those memories
+        # on a start_frame_idx resume (sam2_video_predictor.py:1100-1110).
+        # Written oldest-in-scan-time first so frame-index slot collisions
+        # resolve exactly as a continuous scan would have left them; the walk
+        # covers both the feature ring and the (possibly longer) pointer ring.
+        window: list = []
+        step = -1 if reverse else 1
+        owned_f: set = set()
+        owned_p: set = set()
+        j = order[0] - step
+        while (0 <= j < num_frames
+               and (len(owned_f) < spec.noncond_ring
+                    or len(owned_p) < spec.ptr_ring)):
+            if j in state["cond_frame_idx"]:
+                j -= step
+                continue
+            if (j not in state.get("frames_tracked", {})
+                    or j not in state.get("last_masks", {})):
+                break
+            owned_f.add(j % spec.noncond_ring)
+            owned_p.add(j % spec.ptr_ring)
+            window.append(j)
+            j -= step
+        for wf in reversed(window):
+            prev_low_w, prev_ptr_w = self._last_output(state, wf)
+            bank = self._reencode(
+                self.params, images, bank, jnp.asarray(wf, jnp.int32),
+                prev_low_w, prev_ptr_w, spec=spec, is_eval=state["is_eval"],
+                mask_from_pts=(wf in state.get("corr_consolidated", set())))
+
         # The cond/correction split is host-static, so partition the order
         # into maximal non-cond runs (branch-free scans, no wasted cond-frame
         # encodes) and splice stored prompt-frame masks between them. At a
@@ -503,7 +536,8 @@ class SAM2VideoPredictor:
                 prev_low, prev_ptr = corr_reuse[f]
                 bank = self._reencode(
                     self.params, images, bank, jnp.asarray(f, jnp.int32),
-                    prev_low, prev_ptr, spec=spec, is_eval=state["is_eval"])
+                    prev_low, prev_ptr, spec=spec, is_eval=state["is_eval"],
+                    mask_from_pts=True)
                 seg_masks.append(prev_low[None])
                 seg_ptrs.append(prev_ptr[None])
                 continue
@@ -548,15 +582,18 @@ class SAM2VideoPredictor:
         # rounds reuse their stored output instead of re-applying the clicks
         state.setdefault("corr_consolidated", set()).update(
             f for f in corr_inputs if f in set(order))
-        missed = (set(corr_inputs) | set(corr_reuse)) - set(order)
+        # consolidated corrections outside the order are still honored when
+        # the resume window re-encoded them; only truly unreachable ones warn
+        missed = ((set(corr_inputs) - set(order))
+                  | (set(corr_reuse) - set(order) - set(window)))
         if missed:
             import warnings
             warnings.warn(
                 f"corrections on frames {sorted(missed)} are outside this "
-                "propagation's frame order and had no effect; memory here is "
-                "rebuilt per call from the frames it processes (the reference "
-                "keeps a persistent per-frame dict instead) — re-propagate "
-                "with an order covering them.", stacklevel=2)
+                "propagation's frame order (and its resume window) and had "
+                "no effect; memory here is rebuilt per call from the frames "
+                "it processes — re-propagate with an order covering them.",
+                stacklevel=2)
         return order, masks
 
     # ------------------------------------------------------------------
@@ -837,12 +874,16 @@ def _correction_step(params, images, bank, frame_idx, coords, labels,
 
 
 def _reencode_correction(params, images, bank, frame_idx, prev_low, prev_ptr,
-                         *, cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool):
-    """Re-encode a consolidated correction frame's memory from its stored
-    decode (mask logits + pointer) and write it to the non-cond ring — no
-    re-decode, so repeated propagation reuses the click-time result exactly
-    like the reference's consolidated_frame_inds path
-    (``sam2_video_predictor.py:1086-1096``). Returns the updated bank."""
+                         *, cfg: SAM2Config, spec: mb.BankSpec, is_eval: bool,
+                         mask_from_pts: bool = True):
+    """Re-encode a frame's memory from its stored decode (mask logits +
+    pointer) and write it to the non-cond ring — no re-decode. Used for
+    consolidated correction frames on repeated propagation (the reference's
+    consolidated_frame_inds path, ``sam2_video_predictor.py:1086-1096``;
+    ``mask_from_pts=True``, as the preflight consolidation encodes) and for
+    reconstructing the ring window when a propagation resumes past previously
+    tracked frames (``mask_from_pts=False``, as their track-time encode used).
+    Returns the updated bank."""
     B = prev_low.shape[0]
     frame = _select_frame(images, frame_idx)
     feats, pos = _encode_frame(params, frame, cfg=cfg)
@@ -853,7 +894,7 @@ def _reencode_correction(params, images, bank, frame_idx, prev_low, prev_ptr,
     ).transpose(0, 3, 1, 2)
     maskmem_features, _ = sam2_model.encode_new_memory(
         params, cfg, feats[-1], prev_high,
-        is_mask_from_pts=True, binarize=is_eval,
+        is_mask_from_pts=mask_from_pts, binarize=is_eval,
         apply_non_overlap=(cfg.non_overlap_masks_for_mem_enc and is_eval),
     )
     kcache = None
