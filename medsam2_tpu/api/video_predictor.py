@@ -402,6 +402,9 @@ class SAM2VideoPredictor:
         if max_frame_num_to_track is None:
             max_frame_num_to_track = num_frames
 
+        images = self._session_images(state)
+        kv_on = self.use_kcache and _kv_storage_enabled()
+
         # --- preflight: process prompt frames, write cond memories ---
         cond_outputs = {}
         cond_ptrs = {}
@@ -409,21 +412,21 @@ class SAM2VideoPredictor:
             out, bank = self._run_prompt_frame(state, bank, f, spec)
             cond_outputs[f] = out["pred_masks"]
             cond_ptrs[f] = out["obj_ptr"]
-        # Correction frames (add_all_frames_to_correct_as_cond=False) decode
-        # at their scan position via _correction_step: there the ring holds
-        # the memories of the frames re-tracked before them, which (the
-        # re-propagation being deterministic) equals the reference's
-        # per-frame output dict at click time — exactly when the round has a
-        # single fresh correction. With several fresh corrections in one
-        # round, a later correction sees the earlier ones' re-encoded
-        # memories, whereas the reference's click-time decodes all read the
-        # pre-correction state (documented in MIGRATION). Already-consumed
-        # corrections reuse their stored decode (the reference's
-        # consolidated_frame_inds): only the memory is re-encoded from the
-        # stored mask, so repeated propagation is idempotent. A correction
-        # without retained previous outputs (legacy sessions) falls back to
-        # the memoryless prompt decode + ring-slot restore.
-        corr_inputs = {}
+        # Fresh correction frames (add_all_frames_to_correct_as_cond=False)
+        # decode at preflight against a RECONSTRUCTED pre-correction bank:
+        # cond memories plus the ring window of frames preceding them,
+        # re-encoded from the previous round's stored outputs. That is
+        # exactly the reference's click-time state (add_new_points reads the
+        # per-object output_dict slice, to which same-batch corrections have
+        # not yet been merged, sam2_video_predictor.py:355-380), so several
+        # fresh corrections in one round stay mutually independent. Their
+        # decodes — and those of already-consolidated corrections — are then
+        # spliced into the scan, with only the memory re-encoded at scan
+        # position (the reference's consolidated_frame_inds reuse,
+        # :1086-1096), which keeps repeated propagation idempotent. A
+        # correction without retained previous outputs (legacy sessions)
+        # falls back to the memoryless prompt decode + ring-slot restore.
+        fresh_corr = set()
         corr_reuse = {}
         corr_mem = {}
         for f in sorted(state.get("noncond_prompt_frame_idx", set())):
@@ -436,7 +439,25 @@ class SAM2VideoPredictor:
             elif f in state.get("corr_consolidated", set()):
                 corr_reuse[f] = self._last_output(state, f)
             else:
-                corr_inputs[f] = self._assemble_correction(state, f)
+                fresh_corr.add(f)
+                (coords_f, labels_f, mask_f, use_mask_f, corrected_f,
+                 prev_low, prev_ptr, multimask) = self._assemble_correction(
+                    state, f)
+                # decode in the direction the frame was originally tracked
+                # (frames_already_tracked[...]["reverse"], :339-343); the
+                # functional bank value is unchanged by the reconstruction
+                rev_f = bool(state["frames_tracked"].get(f, False))
+                bank_f, _ = self._reconstruct_ring(state, images, bank, f,
+                                                   rev_f, spec)
+                out, _ = self._corr_step(
+                    self.params, images, bank_f, jnp.asarray(f, jnp.int32),
+                    coords_f, labels_f, mask_f, use_mask_f, corrected_f,
+                    prev_low, prev_ptr, pos_kcache=pos_kcache,
+                    multimask_output=multimask, kv_storage=kv_on,
+                    spec=spec, is_eval=state["is_eval"],
+                    num_frames=num_frames, track_in_reverse=rev_f)
+                corr_reuse[f] = (out["pred_masks"].astype(jnp.float32),
+                                 out["obj_ptr"].astype(jnp.float32))
 
         # --- frame order (sam2_video_predictor.py:1063-1079: both directions
         # span max_frame_num_to_track+1 frames inclusive of the start frame;
@@ -451,7 +472,6 @@ class SAM2VideoPredictor:
         if not order:
             return [], jnp.zeros((0, B, 1, 1, 1))
 
-        images = self._session_images(state)
         kw = dict(spec=spec, is_eval=state["is_eval"], num_frames=num_frames,
                   track_in_reverse=reverse)
 
@@ -460,33 +480,8 @@ class SAM2VideoPredictor:
         # their stored outputs so the readout sees them — matching the
         # reference, whose persistent output_dict still holds those memories
         # on a start_frame_idx resume (sam2_video_predictor.py:1100-1110).
-        # Written oldest-in-scan-time first so frame-index slot collisions
-        # resolve exactly as a continuous scan would have left them; the walk
-        # covers both the feature ring and the (possibly longer) pointer ring.
-        window: list = []
-        step = -1 if reverse else 1
-        owned_f: set = set()
-        owned_p: set = set()
-        j = order[0] - step
-        while (0 <= j < num_frames
-               and (len(owned_f) < spec.noncond_ring
-                    or len(owned_p) < spec.ptr_ring)):
-            if j in state["cond_frame_idx"]:
-                j -= step
-                continue
-            if (j not in state.get("frames_tracked", {})
-                    or j not in state.get("last_masks", {})):
-                break
-            owned_f.add(j % spec.noncond_ring)
-            owned_p.add(j % spec.ptr_ring)
-            window.append(j)
-            j -= step
-        for wf in reversed(window):
-            prev_low_w, prev_ptr_w = self._last_output(state, wf)
-            bank = self._reencode(
-                self.params, images, bank, jnp.asarray(wf, jnp.int32),
-                prev_low_w, prev_ptr_w, spec=spec, is_eval=state["is_eval"],
-                mask_from_pts=(wf in state.get("corr_consolidated", set())))
+        bank, window = self._reconstruct_ring(state, images, bank, order[0],
+                                              reverse, spec)
 
         # The cond/correction split is host-static, so partition the order
         # into maximal non-cond runs (branch-free scans, no wasted cond-frame
@@ -499,7 +494,6 @@ class SAM2VideoPredictor:
         seg_masks = []
         seg_ptrs = []
         run: list = []
-        kv_on = self.use_kcache and _kv_storage_enabled()
 
         def flush_run():
             nonlocal bank
@@ -513,24 +507,6 @@ class SAM2VideoPredictor:
                 run.clear()
 
         for f in order:
-            if f in corr_inputs:
-                flush_run()
-                (coords_f, labels_f, mask_f, use_mask_f, corrected_f,
-                 prev_low, prev_ptr, multimask) = corr_inputs[f]
-                # decode in the direction the frame was originally tracked
-                # (frames_already_tracked[...]["reverse"] at the reference's
-                # click-time decode, sam2_video_predictor.py:339-343)
-                corr_kw = dict(kw)
-                corr_kw["track_in_reverse"] = bool(
-                    state["frames_tracked"].get(f, reverse))
-                out, bank = self._corr_step(
-                    self.params, images, bank, jnp.asarray(f, jnp.int32),
-                    coords_f, labels_f, mask_f, use_mask_f, corrected_f,
-                    prev_low, prev_ptr, pos_kcache=pos_kcache,
-                    multimask_output=multimask, kv_storage=kv_on, **corr_kw)
-                seg_masks.append(out["pred_masks"].astype(jnp.float32)[None])
-                seg_ptrs.append(out["obj_ptr"].astype(jnp.float32)[None])
-                continue
             if f in corr_reuse:
                 flush_run()
                 prev_low, prev_ptr = corr_reuse[f]
@@ -578,14 +554,15 @@ class SAM2VideoPredictor:
             state["frames_tracked"][f] = reverse
             state["last_masks"][f] = (keep_m, i)
             state["last_ptrs"][f] = (keep_p, i)
-        # fresh corrections decoded this round are now consolidated: later
-        # rounds reuse their stored output instead of re-applying the clicks
+        # fresh corrections decoded this round are consolidated once their
+        # output was retained (frame in order): later rounds reuse the stored
+        # output instead of re-applying the clicks
         state.setdefault("corr_consolidated", set()).update(
-            f for f in corr_inputs if f in set(order))
+            fresh_corr & set(order))
         # consolidated corrections outside the order are still honored when
         # the resume window re-encoded them; only truly unreachable ones warn
-        missed = ((set(corr_inputs) - set(order))
-                  | (set(corr_reuse) - set(order) - set(window)))
+        missed = ((fresh_corr - set(order))
+                  | (set(corr_reuse) - fresh_corr - set(order) - set(window)))
         if missed:
             import warnings
             warnings.warn(
@@ -597,6 +574,43 @@ class SAM2VideoPredictor:
         return order, masks
 
     # ------------------------------------------------------------------
+
+    def _reconstruct_ring(self, state, images, bank, anchor: int,
+                          reverse: bool, spec):
+        """Re-encode the non-cond ring window preceding ``anchor`` (in the
+        ``reverse`` tracking direction) from the session's retained outputs
+        into ``bank``. Written oldest-in-scan-time first so frame-index slot
+        collisions resolve exactly as a continuous scan would have left them;
+        the walk covers both the feature ring and the (possibly longer)
+        pointer ring. Consolidated corrections re-encode as mask-from-points,
+        like the reference's preflight consolidation; plain tracked frames as
+        their track-time encode did. Returns (bank, window frame list)."""
+        window: list = []
+        step = -1 if reverse else 1
+        owned_f: set = set()
+        owned_p: set = set()
+        num_frames = state["num_frames"]
+        j = anchor - step
+        while (0 <= j < num_frames
+               and (len(owned_f) < spec.noncond_ring
+                    or len(owned_p) < spec.ptr_ring)):
+            if j in state["cond_frame_idx"]:
+                j -= step
+                continue
+            if (j not in state.get("frames_tracked", {})
+                    or j not in state.get("last_masks", {})):
+                break
+            owned_f.add(j % spec.noncond_ring)
+            owned_p.add(j % spec.ptr_ring)
+            window.append(j)
+            j -= step
+        for wf in reversed(window):
+            prev_low_w, prev_ptr_w = self._last_output(state, wf)
+            bank = self._reencode(
+                self.params, images, bank, jnp.asarray(wf, jnp.int32),
+                prev_low_w, prev_ptr_w, spec=spec, is_eval=state["is_eval"],
+                mask_from_pts=(wf in state.get("corr_consolidated", set())))
+        return bank, window
 
     @staticmethod
     def _last_output(state, frame_idx):

@@ -334,3 +334,38 @@ def test_vp_differential_correction_click(shared):
     rel = (np.abs(ref_out[3][1] - our_out[3][1])
            / np.maximum(np.abs(ref_out[3][1]), 1.0))
     assert rel.max() < 2e-3
+
+
+def test_vp_differential_two_corrections_one_round(shared):
+    """Two fresh corrections added between propagations: the reference
+    decodes each at click time against the PRE-correction output dict
+    (add_new_points reads the per-object slice before temp outputs merge),
+    so the decodes are mutually independent — ours reconstructs that state
+    per correction from the retained outputs."""
+    cfg, ref, ours = shared
+    T = 6
+    video = make_video(T=T, S=cfg.image_size, seed=0)
+    script = [("points", 0, 0, _sq_click(0)),
+              ("points", 0, 1, _disc_click(0))]
+    ref_state = ref.val_init_state(torch.from_numpy(video * 255.0))
+    _apply_script(ref, ref_state, script, is_ref=True)
+    for _ in ref.propagate_in_video(ref_state):
+        pass
+    our_state = ours.val_init_state(video)
+    _apply_script(ours, our_state, script, is_ref=False)
+    for _ in ours.propagate_in_video(our_state):
+        pass
+    corrs = []
+    for f in (2, 4):
+        x = 40 + 12 * f + 35
+        c = (np.array([[x, 110.0], [x - 50, 115.0]], np.float32),
+             np.array([1, 0], np.int32))
+        corrs.append(("points", f, 0, c))
+        ref.add_new_points(ref_state, f, 0, torch.tensor(c[0]),
+                           torch.tensor(c[1]))
+        ours.add_new_points(our_state, f, 0, c[0], c[1])
+    ref_out = {f: m.clone().float().numpy() for f, _ids, m in
+               ref.propagate_in_video(ref_state)}
+    our_out = {f: np.asarray(m, np.float32) for f, _ids, m in
+               ours.propagate_in_video(our_state)}
+    compare(ref_out, our_out, script + corrs)
