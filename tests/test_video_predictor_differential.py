@@ -336,6 +336,41 @@ def test_vp_differential_correction_click(shared):
     assert rel.max() < 2e-3
 
 
+def test_vp_differential_mixed_correction(shared):
+    """Correction round mixing prompt kinds on one tracked frame: points on
+    obj 0 (memory-conditioned re-decode with prev logits) and a mask on obj 1
+    (direct mask-as-output path, use_mask_input_as_output_without_sam — the
+    reference's track_step short-circuits memory for mask inputs)."""
+    cfg, ref, ours = shared
+    T = 5
+    S = cfg.image_size
+    video = make_video(T=T, S=cfg.image_size, seed=0)
+    script = [("points", 0, 0, _sq_click(0)),
+              ("points", 0, 1, _disc_click(0))]
+    ref_state = ref.val_init_state(torch.from_numpy(video * 255.0))
+    _apply_script(ref, ref_state, script, is_ref=True)
+    for _ in ref.propagate_in_video(ref_state):
+        pass
+    our_state = ours.val_init_state(video)
+    _apply_script(ours, our_state, script, is_ref=False)
+    for _ in ours.propagate_in_video(our_state):
+        pass
+    f = 2
+    x = 40 + 12 * f + 35
+    pts = (np.array([[x, 110.0]], np.float32), np.array([1], np.int32))
+    yy, xx = np.mgrid[0:S, 0:S]
+    cx = 60 + 10 * f
+    disc = ((yy - 190) ** 2 + (xx - cx) ** 2) < 34 ** 2
+    corrs = [("points", f, 0, pts), ("mask", f, 1, disc)]
+    _apply_script(ref, ref_state, corrs, is_ref=True)
+    _apply_script(ours, our_state, corrs, is_ref=False)
+    ref_out = {fr: m.clone().float().numpy() for fr, _ids, m in
+               ref.propagate_in_video(ref_state)}
+    our_out = {fr: np.asarray(m, np.float32) for fr, _ids, m in
+               ours.propagate_in_video(our_state)}
+    compare(ref_out, our_out, script + corrs)
+
+
 def test_vp_differential_two_corrections_one_round(shared):
     """Two fresh corrections added between propagations: the reference
     decodes each at click time against the PRE-correction output dict
