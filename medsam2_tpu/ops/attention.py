@@ -242,8 +242,8 @@ def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, dvec_ref, k_ref, v_ref,
     do = do_ref[0]                            # [bq, Dv]
     k = k_ref[0]                              # [bk, D]  (masked rows pre-zeroed)
     v = v_ref[0]                              # [bk, Dv]
-    lse = lse_ref[:]                          # [1, bq] fp32
-    dvec = dvec_ref[:]                        # [1, bq] fp32
+    lse = lse_ref[0]                          # [1, bq] fp32
+    dvec = dvec_ref[0]                        # [1, bq] fp32
 
     sT = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
@@ -283,8 +283,8 @@ def _bwd_dq_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dvec_ref,
     do = do_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    lse = lse_ref[:]
-    dvec = dvec_ref[:]
+    lse = lse_ref[0]
+    dvec = dvec_ref[0]
 
     sT = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32) * scale
@@ -319,8 +319,12 @@ def _flash_bwd_pallas(scale, bq, bk, res, do, interpret=False):
     do_c = do.astype(in_dt)
     mask_col = maskf[:, 0, :, None] > 0                    # [BH, Nk_p, 1]
     kz = jnp.where(mask_col, kf, jnp.zeros((), in_dt))
-    dvec = jnp.sum(do.astype(f32) * o.astype(f32), axis=-1)  # [BH, Nq_p]
-    lse2 = lse.astype(f32)                                 # [BH, Nq_p]
+    # lse/D ride as [BH, 1, Nq] so their block shape is (1, bq) against a
+    # (1, Nq) trailing pair — the TPU lowering's divisible-or-equal rule on
+    # the last two dims rejects a (1, bq) block over [BH, Nq] when BH > 1
+    # (multi-object training hit this; 1-object @1024 masked it).
+    dvec = jnp.sum(do.astype(f32) * o.astype(f32), axis=-1)[:, None, :]
+    lse2 = lse.astype(f32)[:, None, :]                     # [BH, 1, Nq_p]
 
     # The fwd block sizes always divide the padded lengths; prefer 512-wide
     # bwd blocks (scratch holds [bk, bq] fp32 tiles x3 plus two accumulators).
@@ -334,8 +338,8 @@ def _flash_bwd_pallas(scale, bq, bk, res, do, interpret=False):
         in_specs=[
             pl.BlockSpec((1, bqb, Dp), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, bqb, Dvp), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, bqb), lambda b, j, i: (b, i)),
-            pl.BlockSpec((1, bqb), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, 1, bqb), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bqb), lambda b, j, i: (b, 0, i)),
             pl.BlockSpec((1, bkb, Dp), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bkb, Dvp), lambda b, j, i: (b, j, 0)),
         ],
@@ -365,8 +369,8 @@ def _flash_bwd_pallas(scale, bq, bk, res, do, interpret=False):
             pl.BlockSpec((1, bkb, Dvp), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bqb, Dp), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bqb, Dvp), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bqb), lambda b, i, j: (b, i)),
-            pl.BlockSpec((1, bqb), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, 1, bqb), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bqb), lambda b, i, j: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, bqb, Dp), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, Nq_p, Dp), f32),
