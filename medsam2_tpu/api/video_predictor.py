@@ -40,10 +40,12 @@ from medsam2_tpu.utils.transforms import IMAGENET_MEAN, IMAGENET_STD, SAM2Transf
 def _kv_storage_enabled() -> bool:
     """Gate for the storage-order kv-cache readout in the propagation scan
     (``sam2_model._memory_conditioned_features_storage`` + the Pallas
-    ``kv_cached_attention`` kernel). Parity-tested (interpret mode + XLA
-    fallback) but not yet measured on the real chip — default off until the
-    slope timing confirms it beats the recency-gather ``k_cache`` path."""
-    return os.environ.get("MEDSAM2_KV_STORAGE", "0") == "1"
+    ``kv_cached_attention`` kernel). Measured on the real chip (round-3
+    driver A/B: 111.5 fps storage-order vs 97.8 read-order @1024, +14%) —
+    DEFAULT ON. ``MEDSAM2_KV_STORAGE=0`` opts out (e.g. to reproduce the
+    read-order gather path); on CPU / under vmap the kernel falls back to a
+    parity-pinned XLA assembly of the same storage layout."""
+    return os.environ.get("MEDSAM2_KV_STORAGE", "1") == "1"
 
 
 class SAM2VideoPredictor:
@@ -52,17 +54,19 @@ class SAM2VideoPredictor:
                  use_kcache: bool = True,
                  clear_non_cond_mem_around_input: bool = False,
                  clear_non_cond_mem_for_multi_obj: bool = False):
-        # signature parity with the reference predictor
-        # (sam2_video_predictor.py:20-37); the clear-around-input behavior is
-        # readout-time masking the ring does not implement — reject loudly
-        # rather than silently ignore a semantics-changing flag.
-        if clear_non_cond_mem_around_input or clear_non_cond_mem_for_multi_obj:
-            raise NotImplementedError(
-                "clear_non_cond_mem_around_input is not supported: every "
-                "re-propagation here recomputes non-cond memories from "
-                "scratch, so there is no stale surrounding memory to clear; "
-                "the reference's click-time clearing of its persistent dict "
-                "has no ring-buffer equivalent.")
+        # clear_non_cond_mem_around_input (sam2_video_predictor.py:24-36,
+        # 1424-1440): when a frame receives new inputs, drop non-cond memories
+        # within +/- r*num_maskmem frames of it so later readouts don't mix
+        # stale and corrected object appearance. The reference pops entries
+        # from its persistent dict at preflight consolidation (:935-940) and
+        # whenever propagation visits a cond frame (:1088-1091); here that
+        # becomes (a) popping the session's retained outputs around
+        # newly-prompted frames at preflight and (b) host-applied validity
+        # clears on the ring bank at cond segment boundaries
+        # (memory_bank.clear_noncond_window) — only active for single-object
+        # sessions unless clear_non_cond_mem_for_multi_obj (:935-937).
+        self.clear_non_cond_mem_around_input = clear_non_cond_mem_around_input
+        self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
         self.params = params
         self.cfg = cfg
         self.max_cond_frames = max_cond_frames
@@ -218,6 +222,11 @@ class SAM2VideoPredictor:
             # re-decoding (the reference's consolidated_frame_inds,
             # sam2_video_predictor.py:1086-1096) — new clicks un-consolidate
             "corr_consolidated": set(),
+            # frames prompted since the last propagation (the reference's
+            # temp_output_dict frame set) — these are the frames the preflight
+            # "consolidates", and with clear_non_cond_mem_around_input the
+            # frames it clears around (sam2_video_predictor.py:901-940)
+            "new_prompt_frames": set(),
             "is_eval": True,
         }
         return state
@@ -259,6 +268,7 @@ class SAM2VideoPredictor:
         state["last_masks"] = {}
         state["last_ptrs"] = {}
         state["corr_consolidated"] = set()
+        state["new_prompt_frames"] = set()
 
     # ------------------------------------------------------------------
     # Prompts (add_new_points :292 / add_new_bbox :425 / add_new_mask :556)
@@ -310,6 +320,7 @@ class SAM2VideoPredictor:
         # new clicks on a consolidated correction frame re-open it: the next
         # propagation decodes it fresh against the retained (corrected) logits
         state.setdefault("corr_consolidated", set()).discard(frame_idx)
+        state.setdefault("new_prompt_frames", set()).add(frame_idx)
         if (frame_idx in state.get("frames_tracked", {})
                 and not self.cfg.add_all_frames_to_correct_as_cond
                 and frame_idx not in state["cond_frame_idx"]):
@@ -459,6 +470,27 @@ class SAM2VideoPredictor:
                 corr_reuse[f] = (out["pred_masks"].astype(jnp.float32),
                                  out["obj_ptr"].astype(jnp.float32))
 
+        # --- clear_non_cond_mem_around_input, preflight half: pop retained
+        # non-cond outputs within +/- r*num_maskmem of every newly-prompted
+        # frame, matching the reference's pops at preflight consolidation
+        # (non-cond group first, then cond — sam2_video_predictor.py:901-940,
+        # 1424-1440). Runs AFTER the correction decodes above: those happen at
+        # click time in the reference, before any of this round's pops.
+        clear_active = (self.clear_non_cond_mem_around_input
+                        and (self.clear_non_cond_mem_for_multi_obj or B <= 1))
+        clear_w = (self.cfg.memory_temporal_stride_for_eval
+                   * self.cfg.num_maskmem)
+        if clear_active:
+            new = state.get("new_prompt_frames", set())
+            nc_new = sorted(f for f in new
+                            if f in state["noncond_prompt_frame_idx"])
+            c_new = sorted(f for f in new if f in state["cond_frame_idx"])
+            for c in nc_new + c_new:
+                self._pop_retention_window(state, c, clear_w)
+        # every pending prompt is consolidated by this preflight (the
+        # reference clears its temp dicts, :943-945)
+        state["new_prompt_frames"] = set()
+
         # --- frame order (sam2_video_predictor.py:1063-1079: both directions
         # span max_frame_num_to_track+1 frames inclusive of the start frame;
         # reverse from frame 0 is skipped outright) ---
@@ -525,6 +557,13 @@ class SAM2VideoPredictor:
                 jnp.asarray(cond_outputs[f], jnp.float32)[None])
             seg_ptrs.append(
                 jnp.asarray(cond_ptrs[f], jnp.float32)[None])
+            # clear_non_cond_mem_around_input, propagation half: visiting a
+            # cond frame re-clears the surrounding non-cond memories before
+            # the next segment's readouts (sam2_video_predictor.py:1086-1091;
+            # non-cond correction frames don't trigger it, :1092-1096) —
+            # segment boundaries are exactly where the reference's pops land.
+            if clear_active and f in state["cond_frame_idx"]:
+                bank = mb.clear_noncond_window(bank, f, clear_w)
             if f in corr_mem:
                 feats_f, ptr_f = corr_mem[f]
                 kcache_f = None
@@ -550,10 +589,28 @@ class SAM2VideoPredictor:
         keep_m, keep_p = masks, ptrs
         if state.get("offload_state"):
             keep_m, keep_p = np.asarray(masks), np.asarray(ptrs)
+        pre_keys = set(state["last_masks"])
         for i, f in enumerate(order):
             state["frames_tracked"][f] = reverse
             state["last_masks"][f] = (keep_m, i)
             state["last_ptrs"][f] = (keep_p, i)
+        if clear_active:
+            # replay the run's write/clear sequence over the retained-output
+            # key set: the reference's dict loses every non-cond frame popped
+            # by a cond-frame clear and not rewritten afterwards, so those
+            # frames must not offer prev outputs to later corrections/resumes
+            cond_set = state["cond_frame_idx"]
+            held_nc = {f for f in pre_keys if f not in cond_set}
+            for f in order:
+                if f in cond_set:
+                    for p in range(f - clear_w, f + clear_w + 1):
+                        held_nc.discard(p)
+                else:
+                    held_nc.add(f)
+            for p in [f for f in state["last_masks"]
+                      if f not in cond_set and f not in held_nc]:
+                state["last_masks"].pop(p, None)
+                state["last_ptrs"].pop(p, None)
         # fresh corrections decoded this round are consolidated once their
         # output was retained (frame in order): later rounds reuse the stored
         # output instead of re-applying the clicks
@@ -597,12 +654,20 @@ class SAM2VideoPredictor:
             if j in state["cond_frame_idx"]:
                 j -= step
                 continue
-            if (j not in state.get("frames_tracked", {})
-                    or j not in state.get("last_masks", {})):
+            if j not in state.get("frames_tracked", {}):
                 break
             owned_f.add(j % spec.noncond_ring)
             owned_p.add(j % spec.ptr_ring)
-            window.append(j)
+            if j in state.get("last_masks", {}):
+                window.append(j)
+            # else: tracked but its retained output was popped by
+            # clear_non_cond_mem_around_input — a continuous scan would have
+            # written this frame into its slot and then invalidated it, so
+            # the frame still OWNS its ring slots (blocking older frames from
+            # resurfacing there) but contributes no memory. Older frames that
+            # re-encode into a popped frame's slot are readout-equivalent:
+            # the slot's stored index can only match a stride-r target when
+            # no newer in-window frame shared it.
             j -= step
         for wf in reversed(window):
             prev_low_w, prev_ptr_w = self._last_output(state, wf)
@@ -611,6 +676,22 @@ class SAM2VideoPredictor:
                 prev_low_w, prev_ptr_w, spec=spec, is_eval=state["is_eval"],
                 mask_from_pts=(wf in state.get("corr_consolidated", set())))
         return bank, window
+
+    @staticmethod
+    def _pop_retention_window(state, center: int, radius: int) -> None:
+        """Session half of ``_clear_non_cond_mem_around_input``
+        (``sam2_video_predictor.py:1424-1440``): drop the retained outputs of
+        non-cond frames within ``[center - radius, center + radius]``. The
+        reference pops the whole frame entry, so popped frames lose their
+        prev-output for later correction clicks and for ring-window
+        reconstruction alike; cond-frame outputs live under the cond key and
+        are never popped. ``frames_tracked`` (the reference's separate
+        ``frames_already_tracked``) is intentionally kept."""
+        for p in range(center - radius, center + radius + 1):
+            if p in state["cond_frame_idx"]:
+                continue
+            state["last_masks"].pop(p, None)
+            state["last_ptrs"].pop(p, None)
 
     @staticmethod
     def _last_output(state, frame_idx):
@@ -1056,7 +1137,7 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
                               prompt_labels: jnp.ndarray,
                               num_objects: int = 1,
                               prompt_frames: Tuple[int, ...] = (0,),
-                              fold: bool = False) -> jnp.ndarray:
+                              fold: Optional[bool] = None) -> jnp.ndarray:
     """Batched multi-volume streaming (BASELINE config 5): vmap the full
     preflight + scan pipeline over a volume axis so several CT volumes stream
     through the ring-buffer memory bank concurrently on one chip (or sharded
@@ -1074,9 +1155,13 @@ def propagate_volumes_batched(params, cfg: SAM2Config, spec: mb.BankSpec,
     instead of vmapping the pipeline — identical math (the frame schedule is
     volume-uniform, so bank slot arithmetic is shared across rows), but the
     memory attention becomes a single batched call, which the storage-order
-    kv readout (``MEDSAM2_KV_STORAGE=1``) can serve; its scalar-prefetch
-    Pallas kernel cannot be vmapped.
+    kv readout can serve; its scalar-prefetch Pallas kernel cannot be
+    vmapped. Measured on the v5e chip (round 4): 580.3 fps folded vs 495.5
+    vmapped @512/4vol (+17%, MFU 23.8 -> 27.9%), so ``fold=None`` (the
+    default) resolves to ON; ``MEDSAM2_FOLD=0`` opts out.
     """
+    if fold is None:
+        fold = os.environ.get("MEDSAM2_FOLD", "1") == "1"
     T = videos.shape[1]
     if prompt_coords.ndim == 4:   # legacy [V, O, P, 2] form
         prompt_coords = prompt_coords[:, None]

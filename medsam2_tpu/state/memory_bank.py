@@ -195,6 +195,26 @@ def write_bank(spec: BankSpec, bank, frame_idx, maskmem_feats, obj_ptr, is_cond:
     return bank
 
 
+def clear_noncond_window(bank, center: int, radius: int):
+    """Invalidate every non-cond memory (feature ring + pointer ring) whose
+    stored frame index lies in ``[center - radius, center + radius]`` — the
+    ring-buffer equivalent of the reference's
+    ``_clear_non_cond_mem_around_input``
+    (``sam2_video_predictor.py:1424-1440``), which pops those frames from its
+    persistent dict so later readouts skip them (the stride-r target
+    arithmetic is unchanged; missing frames simply aren't attended,
+    ``sam2_base.py:558-568``). Setting the stored index to -1 makes every
+    readout's ``stored == target`` validity test fail for those slots; stale
+    feature/kcache payloads stay in place but masked. Cond memories are
+    untouched (the reference only pops ``non_cond_frame_outputs``)."""
+    bank = dict(bank)
+    for key in ("noncond_frame_idx", "ptr_frame_idx"):
+        stored = bank[key]
+        hit = (stored >= center - radius) & (stored <= center + radius)
+        bank[key] = jnp.where(hit, jnp.int32(-1), stored)
+    return bank
+
+
 def _noncond_target_frames(spec: BankSpec, frame_idx, track_in_reverse: bool):
     """The reference's stride-r previous-frame arithmetic (``sam2_base.py:535-558``)
     for t_pos = 1..num_maskmem-1, vectorized. Returns [num_maskmem-1] int32."""

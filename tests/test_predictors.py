@@ -200,15 +200,26 @@ def test_max_cond_frames_in_attn_caps_bank(tiny_params):
     assert masks.shape[0] == 6
 
 
-def test_clear_non_cond_mem_flags_rejected(tiny_params):
+def test_clear_non_cond_mem_flags(tiny_params):
     """Signature parity with sam2_video_predictor.py:20-37: the clear-around-
-    input kwargs are accepted positionally but a non-default value raises
-    instead of being silently ignored."""
-    SAM2VideoPredictor(tiny_params, TINY, clear_non_cond_mem_around_input=False,
-                       clear_non_cond_mem_for_multi_obj=False)
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        SAM2VideoPredictor(tiny_params, TINY, clear_non_cond_mem_around_input=True)
+    input kwargs are accepted and stored; with the flag on, a single-object
+    propagation still runs end to end (semantics are pinned reference-side by
+    tests/test_video_predictor_differential.py::test_vp_differential_clear_*)."""
+    pred = SAM2VideoPredictor(tiny_params, TINY,
+                              clear_non_cond_mem_around_input=False,
+                              clear_non_cond_mem_for_multi_obj=False)
+    assert not pred.clear_non_cond_mem_around_input
+
+    video, _ = moving_square_video(T=6)
+    pred = SAM2VideoPredictor(tiny_params, TINY,
+                              clear_non_cond_mem_around_input=True)
+    assert pred.clear_non_cond_mem_around_input
+    state = pred.init_state(images=video)
+    pred.add_new_points(state, frame_idx=0, obj_id=1,
+                        points=np.array([[32.0, 32.0]]),
+                        labels=np.array([1]))
+    n = sum(1 for _ in pred.propagate_in_video(state))
+    assert n == 6
 
 
 def test_correction_frames_noncond_vs_cond(tiny_params):

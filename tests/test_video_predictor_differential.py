@@ -404,3 +404,115 @@ def test_vp_differential_two_corrections_one_round(shared):
     our_out = {f: np.asarray(m, np.float32) for f, _ids, m in
                ours.propagate_in_video(our_state)}
     compare(ref_out, our_out, script + corrs)
+
+
+# ---------------------------------------------------------------------------
+# clear_non_cond_mem_around_input (sam2_video_predictor.py:1424-1440)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shared_clear():
+    """Small-memory config (num_maskmem=3, r=1 -> clear window +/-3 frames)
+    with ``clear_non_cond_mem_around_input=True`` on both predictors, plus a
+    flag-OFF copy of ours to prove the cases are actually discriminating."""
+    cfg = make_diff_config(num_maskmem=3, memory_temporal_stride_for_eval=1)
+    params = sam2_init(jax.random.PRNGKey(0), cfg)
+    ref = build_reference_model(cfg, predictor=True, fill_hole_area=0,
+                                non_overlap_masks=False,
+                                clear_non_cond_mem_around_input=True)
+    load_shared_weights(ref, params, cfg)
+    ours = SAM2VideoPredictor(params, cfg, fill_hole_area=0,
+                              non_overlap_masks=False,
+                              clear_non_cond_mem_around_input=True)
+    ours_off = SAM2VideoPredictor(params, cfg, fill_hole_area=0,
+                                  non_overlap_masks=False)
+
+    import sam2_train.sam2_video_predictor as vp_mod
+
+    orig_torch = vp_mod.torch
+    orig_cuda = torch.Tensor.cuda
+    vp_mod.torch = _TorchCPUProxy(torch)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield cfg, ref, ours, ours_off
+    finally:
+        vp_mod.torch = orig_torch
+        torch.Tensor.cuda = orig_cuda
+
+
+def test_vp_differential_clear_non_cond_two_cond_frames(shared_clear):
+    """Two cond frames, single object, flag on: when forward propagation
+    visits the second cond frame (6), the reference pops the non-cond
+    memories of frames 3..5 computed earlier in the SAME run
+    (sam2_video_predictor.py:1086-1091), so frames 7+ re-track without them
+    — ours applies memory_bank.clear_noncond_window at that segment
+    boundary."""
+    cfg, ref, ours, ours_off = shared_clear
+    T = 12
+    video = make_video(T=T, S=cfg.image_size, seed=0)
+    script = [("points", 0, 0, _sq_click(0)),
+              ("points", 6, 0, _sq_click(6))]
+    ref_out = run_reference(ref, video, script)
+    our_out = run_ours(ours, video, script)
+    assert sorted(ref_out) == list(range(T))
+    compare(ref_out, our_out, script)
+    # the clearing must be load-bearing: flag-off output differs after the
+    # second cond frame (it still attends frames 3..5)
+    off_out = run_ours(ours_off, video, script)
+    post = np.stack([our_out[f] for f in range(7, T)])
+    post_off = np.stack([off_out[f] for f in range(7, T)])
+    assert not np.allclose(post, post_off, atol=1e-3)
+
+
+def test_vp_differential_clear_non_cond_resume_after_correction(shared_clear):
+    """The VERDICT r3 scenario: full propagation, correction click on tracked
+    frame 6, then a start_frame_idx=9 resume. With the flag on, the
+    reference's preflight consolidation of the correction pops every non-cond
+    output in [3, 9] — including the correction's own (frame 6 is inside its
+    own window), so the resumed frames re-track against cond frame 0 and the
+    surviving early object pointers only; the retained pre-click memories
+    near the correction must NOT be attended. Ours mirrors this with
+    retention pops before ring-window reconstruction."""
+    import warnings
+
+    cfg, ref, ours, ours_off = shared_clear
+    T = 12
+    video = make_video(T=T, S=cfg.image_size, seed=0)
+    script = [("points", 0, 0, _sq_click(0))]
+
+    x = 40 + 12 * 6 + 35
+    corr = (np.array([[x, 110.0], [x - 50, 115.0]], np.float32),
+            np.array([1, 0], np.int32))
+
+    ref_state = ref.val_init_state(torch.from_numpy(video * 255.0))
+    _apply_script(ref, ref_state, script, is_ref=True)
+    for _ in ref.propagate_in_video(ref_state):
+        pass
+    ref.add_new_points(ref_state, 6, 0, torch.tensor(corr[0]),
+                       torch.tensor(corr[1]))
+    ref_out = {f: m.clone().float().numpy() for f, _ids, m in
+               ref.propagate_in_video(ref_state, start_frame_idx=9)}
+
+    def run_ours_resume(pred):
+        st = pred.val_init_state(video)
+        _apply_script(pred, st, script, is_ref=False)
+        for _ in pred.propagate_in_video(st):
+            pass
+        pred.add_new_points(st, 6, 0, corr[0], corr[1])
+        with warnings.catch_warnings():
+            # ours (correctly) warns that the self-popped correction had no
+            # effect on the resumed window
+            warnings.simplefilter("ignore")
+            return {f: np.asarray(m, np.float32) for f, _ids, m in
+                    pred.propagate_in_video(st, start_frame_idx=9)}
+
+    our_out = run_ours_resume(ours)
+    assert sorted(ref_out) == [9, 10, 11]
+    compare(ref_out, our_out, script)
+    # flag-off resume attends the retained (stale + corrected) memories of
+    # frames 6..8 and must differ
+    off_out = run_ours_resume(ours_off)
+    on_stack = np.stack([our_out[f] for f in (9, 10, 11)])
+    off_stack = np.stack([off_out[f] for f in (9, 10, 11)])
+    assert not np.allclose(on_stack, off_stack, atol=1e-3)
