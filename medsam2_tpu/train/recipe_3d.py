@@ -109,10 +109,14 @@ def make_optimizers(params, cfg: SAM2Config, rcfg: Recipe3DConfig):
 
 
 def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConfig,
-                  batch: Dict, dropout_key=None):
+                  batch: Dict, dropout_key=None, per_frame: bool = False):
     """Losses for ONE volume. ``dropout_key`` activates the memory-attention
     training dropout (reference trains with rate 0.1, memory_attention.py:33-99);
-    None = deterministic.
+    None = deterministic. ``per_frame=True`` additionally returns the raw
+    per-(frame, object) BCE matrices ([n_prompt, O], [T - n_prompt, O]) — the
+    reference engine's individual ``obj_loss`` values
+    (``func_3d/function.py:166-172``), used by the executed-reference
+    training differential.
 
     batch (single volume):
       images        [T, S, S, 3]  normalized
@@ -143,13 +147,12 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
                   if kshape[0] > 0 else None)
 
     def frame_loss(high_res_masks, frame_gt):
-        # high_res_masks [O, 1, S, S] logits; frame_gt [O, S, S]
+        # high_res_masks [O, 1, S, S] logits; frame_gt [O, S, S] -> per-obj [O]
         per = bce_with_logits(high_res_masks[:, 0], frame_gt, rcfg.pos_weight)
-        per = per.mean(axis=(1, 2))  # [O]
-        return jnp.sum(per * obj_valid)
+        return per.mean(axis=(1, 2)) * obj_valid  # [O]
 
     # --- preflight: prompt frames (cond memories) ---
-    prompt_loss = 0.0
+    prompt_frame_losses = []
     for i, f in enumerate(prompt_frames):
         out, bank = _prompt_step(
             params, images, bank, jnp.int32(f),
@@ -160,7 +163,9 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
             is_eval=False,
             num_frames=T,
         )
-        prompt_loss = prompt_loss + frame_loss(out["pred_masks_high_res"], gt[f])
+        prompt_frame_losses.append(frame_loss(out["pred_masks_high_res"], gt[f]))
+    per_prompt = jnp.stack(prompt_frame_losses)          # [n_prompt, O]
+    prompt_loss = jnp.sum(per_prompt)
 
     # --- scan over non-prompt frames ---
     non_prompt_frames = [t for t in range(T) if t not in prompt_frames]
@@ -209,9 +214,10 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
             body = jax.checkpoint(body)
         elif rcfg.remat != "none":
             raise ValueError(f"unknown remat policy {rcfg.remat!r}")
-        _, losses = jax.lax.scan(body, bank, (frame_ids, gt_np, frame_keys))
-        non_prompt_loss = jnp.sum(losses)
+        _, per_nonprompt = jax.lax.scan(body, bank, (frame_ids, gt_np, frame_keys))
+        non_prompt_loss = jnp.sum(per_nonprompt)         # [T - n_prompt, O]
     else:
+        per_nonprompt = jnp.zeros((0, O))
         non_prompt_loss = jnp.asarray(0.0)
 
     # normalizations (func_3d/function.py:170-173)
@@ -219,6 +225,8 @@ def volume_losses(params, cfg: SAM2Config, spec: mb.BankSpec, rcfg: Recipe3DConf
     prompt_loss = prompt_loss / (len(prompt_frames) * n_obj)
     if non_prompt_frames:
         non_prompt_loss = non_prompt_loss / (len(non_prompt_frames) * n_obj)
+    if per_frame:
+        return prompt_loss, non_prompt_loss, per_prompt, per_nonprompt
     return prompt_loss, non_prompt_loss
 
 

@@ -1,0 +1,271 @@
+"""Engine-level executed-reference training differential.
+
+Runs the reference's OWN 3D train engine — ``func_3d/function.py:train_sam``
+(``:50-196``) with its real ``SAM2VideoPredictor`` and the two torch Adam
+groups of ``train_3d.py:34-54`` — on CPU with shared weights, and asserts
+that :mod:`medsam2_tpu.train.recipe_3d` produces
+
+- the same per-(frame, object) BCE losses (the engine's individual
+  ``obj_loss`` values, recorded by wrapping its module-level ``criterion_G``),
+- the same normalized prompt / non-prompt scalars the engine returns,
+- the same post-step parameter deltas for BOTH optimizer groups
+  (mask decoder @ lr 1e-4 on d(prompt + non_prompt) — the accumulated-grads
+  ``retain_graph=True`` flow — and the memory path @ lr 1e-8 on
+  d(non_prompt) only), compared on the lr-normalized Adam-update scale,
+- untouched frozen params on both sides.
+
+Import-time stubs (the engine module assumes a CUDA box): ``sys.argv`` is
+pinned while ``cfg.parse_args()`` runs at import, ``monai`` is stubbed (only
+the dead ``paper_loss`` path references it — ``lossfunc = criterion_G`` at
+``function.py:71``), and ``Tensor.cuda`` is an identity during import for the
+module-level ``pos_weight`` transfer. At run time the module's ``torch``
+global is the same cuda->cpu proxy the predictor differentials use.
+"""
+
+import importlib
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from medsam2_tpu.configs import MemoryAttentionConfig
+from medsam2_tpu.core.sam2_model import sam2_init
+from medsam2_tpu.state import memory_bank as mb
+from medsam2_tpu.train import recipe_3d
+from medsam2_tpu.checkpoint.convert import export_state_dict
+from medsam2_tpu.utils.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+from tests.test_reference_differential import (
+    make_diff_config,
+    build_reference_model,
+    load_shared_weights,
+    make_video,
+)
+from tests.test_video_predictor_differential import _TorchCPUProxy
+
+T = 4
+O = 2
+PROMPT_FREQ = 2
+PROMPT_FRAMES = (0, 2)
+LR_SAM, LR_MEM = 1e-4, 1e-8
+SAM_PREFIX = ("sam_mask_decoder.",)
+MEM_PREFIXES = ("obj_ptr_proj.", "memory_encoder.", "memory_attention.",
+                "mask_downsample.")
+
+
+def _import_reference_engine():
+    if "func_3d.function" in sys.modules:
+        return sys.modules["func_3d.function"]
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    # monai is absent in this environment; only the engine's dead paper_loss
+    # constructor touches it (function.py:20-31)
+    if "monai" not in sys.modules:
+        monai = types.ModuleType("monai")
+        losses_mod = types.ModuleType("monai.losses")
+
+        class _UnusedLoss:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):  # pragma: no cover
+                raise RuntimeError("monai stub: paper_loss is dead code")
+
+        losses_mod.DiceLoss = _UnusedLoss
+        losses_mod.FocalLoss = _UnusedLoss
+        monai.losses = losses_mod
+        sys.modules["monai"] = monai
+        sys.modules["monai.losses"] = losses_mod
+    argv, orig_cuda = sys.argv, torch.Tensor.cuda
+    sys.argv = ["train_3d.py"]  # cfg.parse_args() runs at module import
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        return importlib.import_module("func_3d.function")
+    finally:
+        sys.argv = argv
+        torch.Tensor.cuda = orig_cuda
+
+
+def _bboxes(video01):
+    """Per-frame xyxy boxes for make_video's square (obj 0) and disc (obj 1)."""
+    out = np.zeros((T, O, 4), np.float32)
+    for t in range(T):
+        x0 = 40 + 12 * t
+        out[t, 0] = [x0, 80, x0 + 70, 150]
+        cx = 60 + 10 * t
+        out[t, 1] = [cx - 30, 160, cx + 30, 220]
+    return out
+
+
+def _gt_masks(S):
+    gt = np.zeros((T, O, S, S), np.float32)
+    yy, xx = np.mgrid[0:S, 0:S]
+    for t in range(T):
+        x0 = 40 + 12 * t
+        gt[t, 0] = ((yy >= 80) & (yy < 150) & (xx >= x0) & (xx < x0 + 70))
+        cx = 60 + 10 * t
+        gt[t, 1] = ((yy - 190) ** 2 + (xx - cx) ** 2) < 30 ** 2
+    return gt
+
+
+def test_train_engine_differential():
+    # dropout=0: train_sam runs net.train(), which would activate the torch
+    # memory-attention dropout and make the comparison stochastic
+    cfg = make_diff_config(memory_attention=MemoryAttentionConfig(
+        d_model=64, num_layers=2, dim_feedforward=128, kv_in_dim=16,
+        rope_feat_sizes=(16, 16), dropout=0.0))
+    S = cfg.image_size
+    params = sam2_init(jax.random.PRNGKey(0), cfg)
+
+    mod = _import_reference_engine()
+    ref = build_reference_model(cfg, predictor=True, fill_hole_area=0,
+                                non_overlap_masks=False)
+    load_shared_weights(ref, params, cfg)
+
+    video01 = make_video(T=T, S=S, seed=0)          # [T, 3, S, S] in [0, 1]
+    gt = _gt_masks(S)
+    boxes = _bboxes(video01)
+
+    # --- reference pack (one volume), bbox prompts every PROMPT_FREQ frames
+    pack = {
+        "image": torch.from_numpy(video01 * 255.0)[None],
+        "label": {t: {o: torch.from_numpy(gt[t, o])[None, None]
+                      for o in range(O)} for t in range(T)},
+        "bbox": {f: {o: torch.from_numpy(boxes[f, o])[None]
+                     for o in range(O)} for f in PROMPT_FRAMES},
+        "image_meta_dict": {"filename_or_obj": ["vol0"]},
+    }
+    args_ns = types.SimpleNamespace(video_length=T, prompt="bbox",
+                                    prompt_freq=PROMPT_FREQ, train_vis=False,
+                                    gpu_device=0)
+
+    sam_layers = list(ref.sam_mask_decoder.parameters())
+    mem_layers = (list(ref.obj_ptr_proj.parameters())
+                  + list(ref.memory_encoder.parameters())
+                  + list(ref.memory_attention.parameters())
+                  + list(ref.mask_downsample.parameters()))
+    opt1 = torch.optim.Adam(sam_layers, lr=LR_SAM, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0)
+    opt2 = torch.optim.Adam(mem_layers, lr=LR_MEM, betas=(0.9, 0.999),
+                            eps=1e-8, weight_decay=0)
+
+    sd_before = {k: v.detach().clone().numpy()
+                 for k, v in ref.state_dict().items()}
+
+    # record the engine's individual obj_loss values (function.py:166-172);
+    # train_sam reads the module global `criterion_G` at call time
+    records = []
+    base_bce = torch.nn.BCEWithLogitsLoss(pos_weight=torch.ones(1) * 2)
+
+    def recording_bce(pred, mask):
+        loss = base_bce(pred, mask)
+        records.append(float(loss.detach()))
+        return loss
+
+    import sam2_train.sam2_video_predictor as vp_mod
+
+    orig_crit = mod.criterion_G
+    orig_mod_torch, orig_vp_torch = mod.torch, vp_mod.torch
+    orig_cuda = torch.Tensor.cuda
+    mod.criterion_G = recording_bce
+    mod.torch = _TorchCPUProxy(torch)
+    vp_mod.torch = _TorchCPUProxy(torch)
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        ref_loss, ref_prompt, ref_nonprompt = mod.train_sam(
+            args_ns, ref, opt1, opt2, [pack], epoch=0)
+    finally:
+        mod.criterion_G = orig_crit
+        mod.torch, vp_mod.torch = orig_mod_torch, orig_vp_torch
+        torch.Tensor.cuda = orig_cuda
+    sd_after = {k: v.detach().clone().numpy()
+                for k, v in ref.state_dict().items()}
+    ref_per_frame = np.asarray(records, np.float64).reshape(T, O)
+
+    # --- ours: recipe_3d on the identically-normalized volume
+    rcfg = recipe_3d.Recipe3DConfig(video_length=T, prompt_freq=PROMPT_FREQ,
+                                    num_objects=O, lr_sam=LR_SAM,
+                                    lr_mem=LR_MEM, max_cond_frames=2)
+    imgs = (video01.transpose(0, 2, 3, 1)
+            - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+                IMAGENET_STD, np.float32)
+    coords, labels = recipe_3d.prompts_from_bbox(
+        jnp.asarray(boxes[list(PROMPT_FRAMES)]),
+        jnp.ones((len(PROMPT_FRAMES), O), bool), cfg.max_prompt_points)
+    vol = {
+        "images": jnp.asarray(imgs),
+        "gt_masks": jnp.asarray(gt),
+        "prompt_coords": coords,
+        "prompt_labels": labels,
+        "prompt_use_mask": jnp.zeros((len(PROMPT_FRAMES), O), bool),
+        "obj_valid": jnp.ones((O,), bool),
+    }
+    spec = mb.BankSpec.from_config(cfg, max_cond_frames=rcfg.max_cond_frames)
+
+    # per-(frame, obj) losses at the shared pre-step weights
+    p_loss, np_loss, per_prompt, per_nonprompt = recipe_3d.volume_losses(
+        params, cfg, spec, rcfg, vol, per_frame=True)
+    our_per_frame = np.zeros((T, O))
+    non_prompt_frames = [t for t in range(T) if t not in PROMPT_FRAMES]
+    for i, f in enumerate(PROMPT_FRAMES):
+        our_per_frame[f] = np.asarray(per_prompt)[i]
+    for i, f in enumerate(non_prompt_frames):
+        our_per_frame[f] = np.asarray(per_nonprompt)[i]
+    np.testing.assert_allclose(
+        our_per_frame, ref_per_frame, rtol=2e-3, atol=1e-5,
+        err_msg="per-(frame, object) losses diverge from the executed "
+                "reference engine")
+    np.testing.assert_allclose(float(p_loss), ref_prompt, rtol=2e-3)
+    np.testing.assert_allclose(float(np_loss), ref_nonprompt, rtol=2e-3)
+    # the engine's returned epoch_loss is the plain mean over all (frame, obj)
+    # pairs (function.py:167-170), not prompt + non_prompt
+    np.testing.assert_allclose(our_per_frame.mean(), ref_loss, rtol=2e-3)
+
+    # --- one optimizer step ours
+    batch = jax.tree_util.tree_map(lambda x: x[None], vol)
+    tx, _ = recipe_3d.make_optimizers(params, cfg, rcfg)
+    step = jax.jit(recipe_3d.make_train_step(cfg, rcfg, tx))
+    new_params, _, metrics = step(params, tx.init(params), batch)
+    np.testing.assert_allclose(float(metrics["prompt_loss"]), ref_prompt,
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(metrics["non_prompt_loss"]),
+                               ref_nonprompt, rtol=2e-3)
+
+    # --- post-step parameter deltas, compared per optimizer group on the
+    # lr-normalized Adam-update scale (a first Adam step is ~= lr * sign(g),
+    # so unit scale; 2% of a full step is far below any systematic grad
+    # mismatch and far above fp32 round-off)
+    ours_after = export_state_dict(new_params, cfg)
+    checked = {"sam": 0, "mem": 0, "frozen": 0}
+    group_moved = {"sam": 0.0, "mem": 0.0}
+    for k, before in sd_before.items():
+        after_ref = sd_after[k]
+        after_ours = np.asarray(ours_after[k], np.float64)
+        if k.startswith(SAM_PREFIX):
+            lr, group = LR_SAM, "sam"
+        elif k.startswith(MEM_PREFIXES):
+            lr, group = LR_MEM, "mem"
+        else:
+            assert np.array_equal(before, after_ref), f"frozen {k} moved (ref)"
+            np.testing.assert_array_equal(before, after_ours,
+                                          err_msg=f"frozen {k} moved (ours)")
+            checked["frozen"] += 1
+            continue
+        d_ref = (after_ref.astype(np.float64) - before) / lr
+        d_ours = (after_ours - before) / lr
+        np.testing.assert_allclose(
+            d_ours, d_ref, atol=0.02,
+            err_msg=f"{group} group update mismatch at {k}")
+        checked[group] += 1
+        group_moved[group] = max(group_moved[group], np.abs(d_ref).max())
+    assert checked["sam"] > 0 and checked["mem"] > 0 and checked["frozen"] > 0
+    # both groups must actually have moved (guards against a trivially
+    # passing all-zero comparison); individual keys may legitimately be
+    # zero-grad (state_dict buffers, dead branches)
+    assert group_moved["sam"] > 0.1, group_moved
+    assert group_moved["mem"] > 0.1, group_moved
