@@ -56,6 +56,12 @@ def test_batched_volumes_sharded_mesh():
     assert np.isfinite(np.asarray(out)).all()
     # the volume axis stays sharded over 'data'
     assert "data" in str(out.sharding.spec)
+    # numerical equivalence: sharded masks == single-device masks
+    single = f(jnp.asarray(videos), jnp.asarray(coords), jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               rtol=1e-4, atol=1e-4,
+                               err_msg="sharded streaming masks diverge from "
+                                       "single-device masks")
 
 
 def test_batched_bbox_multi_cond_parity_vs_predictor():
@@ -119,7 +125,8 @@ def test_folded_matches_vmapped():
     labels = jnp.ones((2, 2, 2, 1), jnp.int32)
 
     ref = propagate_volumes_batched(params, TINY, spec, videos, coords, labels,
-                                    num_objects=2, prompt_frames=(0, 3))
+                                    num_objects=2, prompt_frames=(0, 3),
+                                    fold=False)
     for kv in ("0", "1"):
         os.environ["MEDSAM2_KV_STORAGE"] = kv
         try:

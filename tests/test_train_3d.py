@@ -90,22 +90,43 @@ def test_param_group_updates(setup):
 
 
 def test_sharded_train_step_8dev():
-    """dp x tp on the virtual 8-device CPU mesh."""
+    """dp x tp on the virtual 8-device CPU mesh: the sharded step must produce
+    the SAME loss and parameter updates as the plain single-device step on the
+    same batch (collective reduction order differs, so fp32 round-off, not
+    bit-exact) — finiteness alone is not multi-chip correctness."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 host devices"
     mesh = pmesh.make_mesh(8, model_axis=2)
     params = sam2_init(jax.random.PRNGKey(0), TINY)
     tx, _ = recipe_3d.make_optimizers(params, TINY, RCFG)
     step = jax.jit(recipe_3d.make_train_step(TINY, RCFG, tx))
 
+    host_batch = synth_batch(Bv=4)
     with mesh:
         sharded_params = pmesh.shard_params(params, mesh)
         opt_state = tx.init(sharded_params)
-        batch = pmesh.shard_batch(synth_batch(Bv=4), mesh)
+        batch = pmesh.shard_batch(host_batch, mesh)
         new_params, opt_state, metrics = step(sharded_params, opt_state, batch)
     assert np.isfinite(float(metrics["loss"]))
     # TP shardings survive the step
     lin1 = new_params["memory_attention"]["layers"][0]["linear1"]["w"]
     assert "model" in str(lin1.sharding.spec)
+
+    # numerical equivalence vs the unsharded step
+    s_new, _, s_metrics = step(params, tx.init(params), host_batch)
+    np.testing.assert_allclose(float(metrics["loss"]), float(s_metrics["loss"]),
+                               rtol=1e-5)
+    flat_new, _ = jax.tree_util.tree_flatten_with_path(new_params)
+    flat_old = jax.tree_util.tree_leaves(params)
+    flat_single = jax.tree_util.tree_leaves(s_new)
+    moved = 0.0
+    for (path, a), b, c in zip(flat_new, flat_old, flat_single):
+        d_sharded = np.asarray(a) - np.asarray(b)
+        d_single = np.asarray(c) - np.asarray(b)
+        np.testing.assert_allclose(
+            d_sharded, d_single, rtol=5e-3, atol=1e-6,
+            err_msg=f"sharded update diverges at {jax.tree_util.keystr(path)}")
+        moved = max(moved, float(np.abs(d_single).max()))
+    assert moved > 1e-6, "no parameter moved — equivalence check is vacuous"
 
 
 def test_fused_cotangent_pull_matches_two_pulls():
