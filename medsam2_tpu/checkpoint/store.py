@@ -16,11 +16,15 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(directory: str, state: Dict[str, Any], step: int) -> str:
-    """Save a pytree checkpoint at ``<directory>/step_<n>``. Returns the path."""
+def save_checkpoint(directory: str, state: Dict[str, Any], step: int,
+                    name: Optional[str] = None) -> str:
+    """Save a pytree checkpoint at ``<directory>/step_<n>`` (or
+    ``<directory>/<name>`` — e.g. the reference's metric-named best
+    checkpoints ``base_dice_epoch.pth`` / ``base_aji_epoch.pth``,
+    ``train_2d.py:173-179``). Returns the path."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(os.path.join(directory, f"step_{step}"))
+    path = os.path.abspath(os.path.join(directory, name or f"step_{step}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
@@ -41,12 +45,25 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore_checkpoint(directory: str, step: Optional[int] = None,
-                       template: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
-    """Restore ``<directory>/step_<n>`` (latest when ``step`` is None).
+                       template: Optional[Dict[str, Any]] = None,
+                       name: Optional[str] = None) -> Dict[str, Any]:
+    """Restore ``<directory>/step_<n>`` (latest when ``step`` is None) or a
+    metric-named checkpoint ``<directory>/<name>``.
     ``template`` (a matching pytree of arrays) restores with exact
     shapes/dtypes; without it orbax restores as saved."""
     import orbax.checkpoint as ocp
 
+    if name is not None:
+        path = os.path.abspath(os.path.join(directory, name))
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no checkpoint named {name} under {directory}")
+        ckptr = ocp.StandardCheckpointer()
+        if template is not None:
+            target = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+                template)
+            return ckptr.restore(path, target)
+        return ckptr.restore(path)
     if step is None:
         step = latest_step(directory)
         if step is None:

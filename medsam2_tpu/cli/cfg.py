@@ -39,6 +39,10 @@ def parse_args(argv=None):
     parser.add_argument('-pretrain', type=str, default=None,
                         help='path of pretrain weights (torch .pt or orbax dir)')
     parser.add_argument('-val_freq', type=int, default=3)
+    parser.add_argument('-val_max_samples', type=int, default=0,
+                        help='cap validation to N samples for smoke runs; '
+                             '0 = the full test set (the reference protocol, '
+                             'train_2d.py:155-164)')
     parser.add_argument('-gpu', type=bool, default=True)      # accepted, unused (TPU)
     parser.add_argument('-gpu_device', type=int, default=0)   # accepted, unused (TPU)
     parser.add_argument('-image_size', type=int, default=1024)

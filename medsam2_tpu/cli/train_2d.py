@@ -119,9 +119,13 @@ def validate_refuge(args, cfg, rcfg, params, val_ds, bank):
     fwd = jax.jit(
         lambda p, im, c, l, b, k: recipe_2d.forward_2d(
             p, cfg, rcfg, im, c, l, b, k, bank_nonempty=True, is_eval=True)[0])
+    # full test set by default (the reference iterates the whole loader,
+    # train_2d.py:155-164); -val_max_samples caps it for smoke runs
     tot_iou = tot_dice = n = 0.0
     key = jax.random.PRNGKey(0)
-    for i in range(min(len(val_ds), 32)):
+    cap = int(getattr(args, "val_max_samples", 0) or 0)
+    n_val = len(val_ds) if cap <= 0 else min(len(val_ds), cap)
+    for i in range(n_val):
         s = val_ds[i]
         batch = pack_refuge_batch([s], args.image_size, args.out_size)
         key, sub = jax.random.split(key)
@@ -170,6 +174,7 @@ def train_nuclei(args, cfg, logger, paths):
     writer = ScalarWriter(paths["log_path"])
     any_written = False
     best = 0.0
+    best_aji = 0.0
     for epoch in range(args.epochs):
         t0 = time.time()
         for i, batch in enumerate(loader):
@@ -190,22 +195,37 @@ def train_nuclei(args, cfg, logger, paths):
             logger.info(f"epoch {epoch} val: {scores}")
             writer.add_scalars({f"val/{k}": float(v) for k, v in scores.items()},
                                epoch)
+            # the reference keeps SEPARATE best-Dice and best-AJI checkpoints
+            # (train_2d.py:173-179, base_dice_epoch.pth / base_aji_epoch.pth)
             if scores["dice1"] > best:
                 best = scores["dice1"]
                 save_checkpoint(paths["ckpt_path"],
-                                {"params": params, "epoch": epoch}, epoch)
+                                {"params": params, "epoch": epoch}, epoch,
+                                name="best_dice")
+            if scores["aji"] > best_aji:
+                best_aji = scores["aji"]
+                save_checkpoint(paths["ckpt_path"],
+                                {"params": params, "epoch": epoch}, epoch,
+                                name="best_aji")
     return params
 
 
 def validate_nuclei(args, cfg, rcfg, params, val_ds, bank, key) -> Dict[str, float]:
-    """Full-image nuclei eval on <=8 samples: decode per-cell masks at GT points,
-    paint an instance map, score Dice1/AJI/PQ. (The sliding-window crop
-    inference engine is in ``medsam2_tpu/api/nuclei_inference.py``.)"""
+    """Full-image nuclei eval over the ENTIRE test set (the reference iterates
+    the full test loader, ``func_2d/function.py:268-678``): decode per-cell
+    masks at GT points, paint an instance map, score the reference's metric
+    set Dice1/Dice2/AJI/AJI+/DQ/SQ/PQ. ``-val_max_samples N`` caps the count
+    for smoke runs (0 = all). (The sliding-window crop inference engine is in
+    ``medsam2_tpu/api/nuclei_inference.py``.)"""
     from medsam2_tpu.api.nuclei_inference import predict_instances
+    from medsam2_tpu.metrics.instance import get_fast_aji_plus, get_fast_dice_2
 
-    tot = {"dice1": 0.0, "aji": 0.0, "pq": 0.0}
+    tot = {"dice1": 0.0, "dice2": 0.0, "aji": 0.0, "aji_plus": 0.0,
+           "dq": 0.0, "sq": 0.0, "pq": 0.0}
     n = 0
-    for i in range(min(len(val_ds), 8)):
+    cap = int(getattr(args, "val_max_samples", 0) or 0)
+    n_val = len(val_ds) if cap <= 0 else min(len(val_ds), cap)
+    for i in range(n_val):
         s = val_ds[i]
         inst_map = s.get("inst_map")
         if inst_map is None:
@@ -227,8 +247,13 @@ def validate_nuclei(args, cfg, rcfg, params, val_ds, bank, key) -> Dict[str, flo
                 vis_inst_image(s["image"], pr,
                                os.path.join(sample_dir, f"val{i}_inst.png"))
         tot["dice1"] += get_dice_1(gt, pr)
-        tot["aji"] += get_fast_aji(gt, pr) if gt.max() and pr.max() else 0.0
+        tot["dice2"] += get_fast_dice_2(gt, pr) if gt.max() and pr.max() else 0.0
+        if gt.max() and pr.max():
+            tot["aji"] += get_fast_aji(gt, pr)
+            tot["aji_plus"] += get_fast_aji_plus(gt, pr)
         (dq, sq, pq), _ = get_fast_pq(gt, pr)
+        tot["dq"] += dq
+        tot["sq"] += sq
         tot["pq"] += pq
         n += 1
     return {k: v / max(n, 1) for k, v in tot.items()}
