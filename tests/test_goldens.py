@@ -29,3 +29,27 @@ def test_goldens_roundtrip(tmp_path):
     np.savez_compressed(tmp_path / "g.npz", **g1)
     loaded = dict(np.load(tmp_path / "g.npz"))
     compare_goldens(g1, loaded, atol=0)
+
+
+def test_checkpoint_parity_dry_run(tmp_path):
+    """The one-command flow for the day real ``sam2_hiera_t/s.pt`` weights
+    appear (README "Checkpoint parity"), dry-run on converter-exported
+    synthetic weights: export params to the reference's ``{"model":
+    state_dict}`` .pt format, load it back through the torch->jax converter
+    (``load_params`` auto-detects .pt), and require the module goldens to
+    match the direct-params goldens to fp32 round-off."""
+    torch = pytest.importorskip("torch")
+    from medsam2_tpu.checkpoint.convert import export_state_dict
+    from medsam2_tpu.checkpoint.store import load_params
+
+    params = sam2_init(jax.random.PRNGKey(0), TINY)
+    sd = export_state_dict(params, TINY)
+    pt = tmp_path / "synthetic_sam2.pt"
+    torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in sd.items()}}, pt)
+
+    reloaded = load_params(str(pt), TINY)
+    g_direct = dump_goldens(params, TINY)
+    g_loaded = dump_goldens(reloaded, TINY)
+    diffs = compare_goldens(g_direct, g_loaded, atol=1e-5)
+    assert diffs and max(diffs.values()) <= 1e-5
