@@ -143,14 +143,35 @@ def _patch_embed_wfold(p, x):
     return y
 
 
+def _split_qkv_enabled() -> bool:
+    """Project q, k, v with three weight slices instead of one fused matmul +
+    [N, 3, h, d] reshape/slice: the fused form materializes the 3-axis
+    rearrangement as HLO copies (~170 MB/frame @1024 across blocks — the
+    largest single class in scripts/audit_copies.py). Column-exact: each
+    output column sees the same weight column either way."""
+    return os.environ.get("MEDSAM2_SPLIT_QKV", "1") == "1"
+
+
 def _attention_block(bp, x, spec, q_stride):
     """MultiScaleAttention (``hieradet.py:37-83``): fused qkv, optional q max-pooling."""
     B, H, W, _ = x.shape
     num_heads = spec["num_heads"]
     dim_out = spec["dim_out"]
-    qkv = layers.linear_apply(bp["qkv"], x.reshape(B, H * W, -1))
-    qkv = qkv.reshape(B, H * W, 3, num_heads, dim_out // num_heads)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
+    if _split_qkv_enabled():
+        w, b = bp["qkv"]["w"], bp["qkv"].get("b")
+        xf = x.reshape(B, H * W, -1)
+        parts = []
+        for j in range(3):
+            pj = {"w": w[:, j * dim_out:(j + 1) * dim_out]}
+            if b is not None:
+                pj["b"] = b[j * dim_out:(j + 1) * dim_out]
+            parts.append(layers.linear_apply(pj, xf).reshape(
+                B, H * W, num_heads, dim_out // num_heads))
+        q, k, v = parts
+    else:
+        qkv = layers.linear_apply(bp["qkv"], x.reshape(B, H * W, -1))
+        qkv = qkv.reshape(B, H * W, 3, num_heads, dim_out // num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, h, d]
 
     if q_stride is not None:
         q = q.reshape(B, H, W, dim_out)
@@ -329,6 +350,40 @@ def _block_apply(bp, x, spec):
     return x
 
 
+def _block_apply_windows(bp, wins, spec):
+    """MultiScaleBlock on pre-partitioned windows [Bn, ws, ws, C], valid only
+    when the spatial extent divides the window size (no padding). Exact same
+    math as :func:`_block_apply`: layer norm, MLP and residuals are per-token;
+    attention and q-pooling are window-local (``hieradet.py:136-168``)."""
+    q_stride = spec["q_stride"]
+    dim, dim_out = spec["dim"], spec["dim_out"]
+    shortcut = wins
+    x = layers.layer_norm_apply(bp["norm1"], wins, eps=1e-6)
+    if dim != dim_out:
+        shortcut = layers.linear_apply(bp["proj"], x)
+        if q_stride is not None:
+            shortcut = layers.max_pool2d(shortcut, q_stride, q_stride)
+    x = _attention_block(bp["attn"], x, spec, q_stride)
+    x = shortcut + x
+    x = x + layers.mlp_apply(bp["mlp"],
+                             layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
+                             activation=layers.gelu)
+    return x
+
+
+def _chain_windows_enabled() -> bool:
+    """Keep consecutive compatible-window blocks in partitioned layout.
+
+    The hiera schedule pools by exactly the window-size ratio at stage
+    transitions (ws8 -> pool -> ws4 -> ws4 -> pool), so when the extent
+    divides the window size the ws-partition of stage N's output *is* the
+    ws'-partition of stage N+1's input (same 32x32 window grid @1024): one
+    partition after the patch embed and one unpartition into stage 3 replace
+    6+ per-block 6-D transposes (HLO copy audit: ~200 MB/frame of partition
+    relayouts, scripts/audit_copies.py). Exact — pure layout."""
+    return os.environ.get("MEDSAM2_CHAIN_WINDOWS", "1") == "1"
+
+
 def hiera_apply(params, cfg: HieraConfig, x: jnp.ndarray,
                 pos_embed: jnp.ndarray = None) -> List[jnp.ndarray]:
     """x: [B, H, W, 3] NHWC image -> list of per-stage feature maps [B, h, w, C].
@@ -354,7 +409,34 @@ def hiera_apply(params, cfg: HieraConfig, x: jnp.ndarray,
     outputs = []
     schedule = cfg.block_schedule()
     stage_ends = set(cfg.stage_ends)
+    chain = _chain_windows_enabled()
+    wins = None        # current partitioned tensor [Bn, cur_ws, cur_ws, C]
+    cur_ws = None      # its window size
+    cur_hw = None      # the spatial extent it unpartitions to
     for i, (bp, spec) in enumerate(zip(params["blocks"], schedule)):
+        ws = spec["window_size"]
+        if chain and ws > 0:
+            if wins is not None and cur_ws != ws:
+                x = layers.window_unpartition(wins, cur_ws, cur_hw, cur_hw)
+                wins = None
+            if wins is None:
+                H, W = x.shape[1], x.shape[2]
+                if H % ws == 0 and W % ws == 0:
+                    wins, _ = layers.window_partition(x, ws)
+                    cur_hw = (H, W)
+            if wins is not None:
+                wins = _block_apply_windows(bp, wins, spec)
+                cur_ws = wins.shape[1]
+                if spec["q_stride"] is not None:
+                    cur_hw = (cur_hw[0] // spec["q_stride"][0],
+                              cur_hw[1] // spec["q_stride"][1])
+                if i in stage_ends:
+                    x = layers.window_unpartition(wins, cur_ws, cur_hw, cur_hw)
+                    outputs.append(x)
+                continue
+        if wins is not None:
+            x = layers.window_unpartition(wins, cur_ws, cur_hw, cur_hw)
+            wins = None
         x = _block_apply(bp, x, spec)
         if i in stage_ends:
             outputs.append(x)

@@ -230,6 +230,36 @@ def test_image_encoder_output_shapes():
 
 
 
+def test_chain_windows_and_split_qkv_match_base(rng, monkeypatch):
+    """The chained-window layout (MEDSAM2_CHAIN_WINDOWS) and the split-qkv
+    projection (MEDSAM2_SPLIT_QKV) are pure lowering changes — outputs must
+    match the unchained/fused path exactly, both at a window-divisible extent
+    (chain engages through every stage) and at a non-divisible one (chain
+    must fall back to per-block partition)."""
+    for cfg, size in ((TINY, 32),      # 8x8 extent, ws=2: fully chainable
+                      (TINY, 40),      # 10x10 extent: 10 % 2 == 0 but pooled
+                                       # stages hit 5x5 -> fallback mid-chain
+                      (HieraConfig(embed_dim=8, num_heads=2,
+                                   stages=(1, 2, 2, 2), q_pool=2,
+                                   window_spec=(4, 4, 4, 4),
+                                   global_att_blocks=(6,),
+                                   window_pos_embed_bkg_spatial_size=(3, 3)),
+                       48)):
+        params = jhiera.hiera_init(jax.random.PRNGKey(5), cfg)
+        x = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
+        monkeypatch.setenv("MEDSAM2_CHAIN_WINDOWS", "0")
+        monkeypatch.setenv("MEDSAM2_SPLIT_QKV", "0")
+        base = jhiera.hiera_apply(params, cfg, x)
+        for chain, split in (("1", "0"), ("0", "1"), ("1", "1")):
+            monkeypatch.setenv("MEDSAM2_CHAIN_WINDOWS", chain)
+            monkeypatch.setenv("MEDSAM2_SPLIT_QKV", split)
+            alt = jhiera.hiera_apply(params, cfg, x)
+            for b, a in zip(base, alt):
+                np.testing.assert_allclose(
+                    np.asarray(b), np.asarray(a), atol=1e-6, rtol=1e-6,
+                    err_msg=f"chain={chain} split={split} size={size}")
+
+
 def test_dot6d_window_lowering_matches_partition(rng, monkeypatch):
     """The no-partition dot_general window-attention lowering is
     math-identical to the classic partition/SDPA path (same qkv linear, fp32
