@@ -71,8 +71,12 @@ def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
         pad = max_batch - k
         coords = jnp.asarray(
             np.pad(chunk, ((0, pad), (0, 0)))[:, None, :], jnp.float32)
+        # label 0 per point, matching the reference's validation exactly
+        # (func_2d/function.py:416 hardcodes torch.zeros): the model is
+        # trained with class-0 (negative-embedding) point prompts, so eval
+        # must prompt the same way.
         labels = jnp.asarray(
-            np.pad(np.ones(k, np.int32), (0, pad), constant_values=-1)[:, None])
+            np.pad(np.zeros(k, np.int32), (0, pad), constant_values=-1)[:, None])
         sparse, dense = sam2_model.prompt_encoder.prompt_encoder_apply(
             sam_params["sam_prompt_encoder"], cfg, points=(coords, labels))
         idx = jnp.zeros((max_batch,), jnp.int32)

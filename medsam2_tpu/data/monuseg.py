@@ -118,7 +118,9 @@ class MONUSEG:
             "image": normalized,
             "inst_masks": inst_choose,
             "points_choose": points_choose,
-            "labels_choose": np.ones(len(chosen), np.int64),
+            # type-1 = 0 for single-class nuclei (monuseg.py:116) — these go
+            # straight into the SAM prompt encoder as point labels
+            "labels_choose": np.zeros(len(chosen), np.int64),
             "points_all": points_all,
             "labels_all": labels_all,
             "cell_num": len(chosen),

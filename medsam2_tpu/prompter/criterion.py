@@ -11,6 +11,13 @@ Losses, given Hungarian assignments (padded, fixed-shape):
   computes focal, ``criterion.py:136-137``; we keep the math, sane names)
 - ``loss_dice``: focal on the SAM instance mask
 - ``loss_iou``: MSE between predicted IoU and actual mask IoU (MaskIoULoss)
+
+The focal and dice terms replicate ``pytorch_toolbelt`` at the reference's
+construction defaults (``criterion.py:41-42``): ``BinaryFocalLoss()`` has
+**alpha=None** (no alpha weighting, unlike torchvision's 0.25) and
+``DiceLoss('binary')`` pools ONE dice score over batch+spatial with
+smooth=0 — see :func:`medsam2_tpu.train.losses.binary_focal_loss` /
+:func:`~medsam2_tpu.train.losses.dice_loss_pooled`.
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from medsam2_tpu.train.losses import dice_loss, sigmoid_focal_loss
+from medsam2_tpu.train.losses import binary_focal_loss, dice_loss_pooled
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,10 +95,10 @@ def criterion_losses(
                              gt_valid, num_points) * ccfg.reg_loss_coef,
         "loss_cls": loss_cls(outputs["pred_logits"], gt_labels, src_idx,
                              gt_valid, ccfg) * ccfg.cls_loss_coef,
-        "loss_mask": sigmoid_focal_loss(
-            outputs["pred_masks"], gt_semantic_mask).mean() * ccfg.mask_loss_coef,
-        "loss_focal": dice_loss(sam_pred, sam_gt).mean() * ccfg.loss_focal,
-        "loss_dice": sigmoid_focal_loss(sam_pred, sam_gt).mean() * ccfg.loss_dice,
+        "loss_mask": binary_focal_loss(
+            outputs["pred_masks"], gt_semantic_mask) * ccfg.mask_loss_coef,
+        "loss_focal": dice_loss_pooled(sam_pred, sam_gt) * ccfg.loss_focal,
+        "loss_dice": binary_focal_loss(sam_pred, sam_gt) * ccfg.loss_dice,
         "loss_iou": mask_iou_loss(sam_pred, sam_gt, sam_iou) * ccfg.loss_iou,
     }
     return losses

@@ -15,6 +15,31 @@ def bce_with_logits(logits, targets, pos_weight: float = 1.0):
     return loss
 
 
+def binary_focal_loss(logits, targets, gamma: float = 2.0):
+    """``pytorch_toolbelt.losses.BinaryFocalLoss()`` exactly as the reference
+    criterion constructs it (``sam2_train/modeling/criterion.py:41``): the
+    class default is **alpha=None** — no alpha weighting (unlike
+    torchvision's 0.25 convention) — gamma=2, mean reduction.
+    loss = (1 - pt)^gamma * BCE, pt = exp(-BCE)."""
+    ce = bce_with_logits(logits.astype(jnp.float32), targets.astype(jnp.float32))
+    pt = jnp.exp(-ce)
+    return jnp.mean((1.0 - pt) ** gamma * ce)
+
+
+def dice_loss_pooled(logits, targets, eps: float = 1e-7):
+    """``pytorch_toolbelt.losses.DiceLoss('binary')`` exactly as constructed
+    at ``criterion.py:42``: sigmoid probabilities, ONE soft-dice score pooled
+    over batch AND spatial dims (dims=(0, 2) of the [bs, 1, -1] view — not a
+    per-sample mean), smooth=0.0, ``clamp_min(eps)`` on the denominator, and
+    the loss is zeroed when the batch ground truth is empty."""
+    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+    t = targets.astype(jnp.float32)
+    inter = jnp.sum(p * t)
+    card = jnp.sum(p) + jnp.sum(t)
+    score = 2.0 * inter / jnp.maximum(card, eps)
+    return jnp.where(jnp.sum(t) > 0, 1.0 - score, 0.0)
+
+
 def dice_loss(logits, targets, eps: float = 1e-5):
     """Soft Dice on sigmoid probabilities, per sample; mean over batch."""
     probs = jax.nn.sigmoid(logits)

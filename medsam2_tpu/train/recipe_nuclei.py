@@ -93,9 +93,17 @@ def forward_nuclei(params, cfg: SAM2Config, rcfg: NucleiRecipeConfig, batch,
         params["sam2"], cfg, batch["images"], bank, k1, bank_nonempty, B,
         dropout_key=dkm)
 
-    # per-cell prompts: flatten [B, M] cells -> rows with image_indices
+    # per-cell prompts: flatten [B, M] cells -> rows with image_indices.
+    # Point labels are the 0-based cell CLASS, exactly as the reference feeds
+    # them: train_sam passes labels_choose = type-1 = 0 for single-class
+    # nuclei straight into the prompt encoder (func_2d/function.py:64,144;
+    # monuseg.py:116), and validation hardcodes torch.zeros (:416) — i.e. the
+    # model trains and evals with the NEGATIVE-point embedding. Preserved for
+    # reference-checkpoint compatibility.
     coords = nearest.reshape(B * M, 1, 2)
-    labels = jnp.where(batch["gt_valid"].reshape(B * M), 1, -1)[:, None]
+    labels = jnp.where(batch["gt_valid"].reshape(B * M),
+                       batch["gt_labels"].reshape(B * M).astype(jnp.int32),
+                       -1)[:, None]
     sparse, dense = sam2_model.prompt_encoder.prompt_encoder_apply(
         params["sam2"]["sam_prompt_encoder"], cfg, points=(coords, labels))
     sparse = jax.lax.stop_gradient(sparse)
@@ -163,10 +171,11 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
         flat_pred = pred_cells.reshape(B * M, rcfg.out_size, rcfg.out_size)
         flat_gt = batch["gt_cell_masks"].reshape(B * M, rcfg.out_size, rcfg.out_size)
         vmask = batch["gt_valid"].reshape(B * M)
-        # restrict SAM losses to valid cells: padding rows get pred=-20/gt=0
-        # (zero dice+focal contribution) and pred_iou pinned to its soft-IoU
-        # value of 1 so the IoU-MSE term vanishes on padding
-        flat_pred = jnp.where(vmask[:, None, None], flat_pred, -20.0)
+        # restrict SAM losses to valid cells: padding rows get pred=-1e9
+        # (sigmoid EXACTLY 0 in fp32) and gt=0, so they contribute exactly
+        # nothing to the pooled dice, zero focal elements, and a soft-IoU of
+        # (0+1e-7)/(0+1e-7)=1 that cancels the pinned pred_iou=1 in the MSE
+        flat_pred = jnp.where(vmask[:, None, None], flat_pred, -1e9)
         flat_gt = jnp.where(vmask[:, None, None], flat_gt, 0.0)
         flat_iou = jnp.where(vmask, iou_cells.reshape(B * M), 1.0)
 
@@ -175,10 +184,12 @@ def make_train_step_nuclei(cfg: SAM2Config, rcfg: NucleiRecipeConfig, tx,
             batch["gt_points"], batch["gt_labels"], batch["gt_valid"],
             batch["gt_semantic"], src_idx,
             flat_pred, flat_iou, flat_gt)
-        # renormalize the per-cell mask losses by the valid fraction so padding
-        # slots don't dilute the mean (the reference averages over real cells)
+        # renormalize the per-cell MEAN losses by the valid fraction so padding
+        # slots don't dilute them (the reference averages over real cells);
+        # the pooled dice (loss_focal) needs no renorm — exact-zero padding
+        # rows drop out of its batch-pooled sums entirely
         valid_frac = jnp.maximum(jnp.mean(vmask.astype(jnp.float32)), 1e-6)
-        for k in ("loss_focal", "loss_dice", "loss_iou"):
+        for k in ("loss_dice", "loss_iou"):
             losses[k] = losses[k] / valid_frac
         total = sum(losses.values())
         metrics = {**{k: v for k, v in losses.items()}, "loss": total}
@@ -261,4 +272,23 @@ def init_joint_params(key, cfg: SAM2Config, rcfg: NucleiRecipeConfig):
 
 
 def make_optimizer_nuclei(rcfg: NucleiRecipeConfig):
-    return optax.adamw(rcfg.lr, weight_decay=rcfg.weight_decay)
+    """Joint AdamW over prompter + SAM (``train_2d.py:42-47``), with two
+    torch-faithful exclusions: the prompt encoder — the engine only ever
+    calls it under ``torch.no_grad`` (``func_2d/function.py:140-152``), so
+    its params never receive gradients NOR AdamW weight decay in the
+    reference (torch skips grad-None params entirely) — and the mask head's
+    BN running stats, which are torch *buffers* updated by the forward-pass
+    EMA, never by the optimizer."""
+    def label_fn(params):
+        def lab(path, _):
+            keys = [getattr(p, "key", None) for p in path]
+            if "sam_prompt_encoder" in keys:
+                return "frozen"
+            if "bn" in keys and keys[-1] in ("mean", "var"):
+                return "frozen"
+            return "train"
+        return jax.tree_util.tree_map_with_path(lab, params)
+    return optax.multi_transform(
+        {"train": optax.adamw(rcfg.lr, weight_decay=rcfg.weight_decay),
+         "frozen": optax.set_to_zero()},
+        label_fn)
