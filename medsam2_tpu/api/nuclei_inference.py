@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from medsam2_tpu.configs import SAM2Config
 from medsam2_tpu.core import layers, sam2_model
 from medsam2_tpu.ops.nms import batched_nms_np, point_nms_np
-from medsam2_tpu.postproc.amg_utils import batched_mask_to_box, calculate_stability_score
+from medsam2_tpu.postproc.amg_utils import batched_mask_to_box
 from medsam2_tpu.prompter.dpa_p2pnet import prompter_apply
 from medsam2_tpu.train.recipe_2d import encode_and_condition
 
@@ -34,30 +34,44 @@ def crop_with_overlap(h: int, w: int, crop_size: int, overlap: int) -> List[Tupl
 
 def predict_points(params, rcfg, image: jnp.ndarray,
                    score_thresh: float = 0.5,
-                   semantic_feature: Optional[jnp.ndarray] = None):
+                   semantic_feature: Optional[jnp.ndarray] = None,
+                   filtering: bool = False):
     """Prompter inference wrapper (``modeling/utils.py:390-432``): foreground
-    points with scores. Returns (points [K, 2], scores [K]) numpy."""
+    points with scores. For a single foreground class the argmax-foreground
+    rule equals ``fg_score > 0.5``, and the winning-class prob equals the
+    summed foreground prob — both reference-exact. ``filtering`` additionally
+    keeps only points whose pixel is positive in the prompter's semantic mask
+    (``utils.py:423-427``). Returns (points [K, 2], scores [K]) numpy."""
     outputs, _ = prompter_apply(params["prompter"], rcfg.prompter, image,
                                 semantic_feature)
     logits = np.asarray(outputs["pred_logits"][0], np.float32)
-    coords = np.asarray(outputs["pred_coords"][0], np.float32)
+    coords = np.array(outputs["pred_coords"][0], np.float32)  # writable copy
     probs = np.exp(logits - logits.max(-1, keepdims=True))
     probs = probs / probs.sum(-1, keepdims=True)
     fg_score = probs[:, :-1].sum(-1)
     cls = probs.argmax(-1)
     keep = (cls < probs.shape[-1] - 1) & (fg_score > score_thresh)
-    # clip into the image
-    S = image.shape[1]
-    coords = np.clip(coords, 0, S - 1)
-    return coords[keep], fg_score[keep]
+    # clip into the image (the reference clips x to W-1 / y to H-1 first)
+    H, W = image.shape[1], image.shape[2]
+    coords[:, 0] = np.clip(coords[:, 0], 0, W - 1)
+    coords[:, 1] = np.clip(coords[:, 1], 0, H - 1)
+    coords, scores = coords[keep], fg_score[keep]
+    if filtering and len(coords):
+        sem = np.asarray(outputs["pred_masks"][0], np.float32) > 0
+        on_mask = sem[coords.astype(int)[:, 1], coords.astype(int)[:, 0]]
+        coords, scores = coords[on_mask], scores[on_mask]
+    return coords, scores
 
 
 def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
-                 image: jnp.ndarray, bank_nonempty: bool, max_batch: int = 64):
+                 image: jnp.ndarray, bank_nonempty: bool, max_batch: int = 64,
+                 return_memory: bool = False):
     """SAM decode of one mask per point. Returns (masks [K, S, S] logits,
-    ious [K]) numpy."""
+    ious [K]) numpy — plus (image_embed, vision_feats) when
+    ``return_memory`` (for the eval-time similarity-bank write,
+    ``function.py:511-565``)."""
     S = cfg.image_size
-    image_embed, high_res, _ = encode_and_condition(
+    image_embed, high_res, vision_feats = encode_and_condition(
         params["sam2"] if "sam2" in params else params, cfg, image, bank, key,
         bank_nonempty, 1)
     sam_params = params["sam2"] if "sam2" in params else params
@@ -93,8 +107,12 @@ def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
         all_masks.append(np.asarray(up)[:k])
         all_ious.append(np.asarray(ious)[:k, 0])
     if not all_masks:
-        return np.zeros((0, S, S), np.float32), np.zeros((0,), np.float32)
-    return np.concatenate(all_masks), np.concatenate(all_ious)
+        out = (np.zeros((0, S, S), np.float32), np.zeros((0,), np.float32))
+    else:
+        out = (np.concatenate(all_masks), np.concatenate(all_ious))
+    if return_memory:
+        return out + (image_embed, vision_feats)
+    return out
 
 
 def drop_points_in_processed_boxes(points: np.ndarray, processed_boxes) -> np.ndarray:
@@ -117,8 +135,13 @@ def merge_instances(masks: List[np.ndarray], scores: np.ndarray,
     1. per-point keep-best: a point decoded in several overlapping crops keeps
        only its highest-scoring instance (``keep_prior``),
     2. class-agnostic box NMS over the survivors,
-    3. paint the instance map in *reversed* NMS order, skipping any mask that
-       touches an already-painted pixel (``b_inst_map[mask].all() == 0``).
+    3. paint the instance map in *reversed* NMS order (ascending score, so
+       higher-scoring masks overwrite): a mask is painted when ANY of its
+       pixels is still uncovered (``b_inst_map[mask].all() == 0`` — note the
+       reference paints the WHOLE mask then, overwriting the overlapped
+       pixels of earlier instances), with the enumeration index as the
+       instance id (ids of fully-covered masks are skipped, leaving gaps —
+       exactly the reference numbering; ``remap_label`` normalizes).
     """
     scores = np.asarray(scores, np.float32)
     point_ids = np.asarray(point_ids)
@@ -136,26 +159,30 @@ def merge_instances(masks: List[np.ndarray], scores: np.ndarray,
                                  np.zeros(len(kept)), mask_nms_thresh)
     order = kept[keep_by_nms][::-1]
     inst_map = np.zeros(hw, np.int32)
-    next_id = 1
-    for ind in order:
+    for iid, ind in enumerate(order):
         m = masks[ind]
-        if (inst_map[m] == 0).all():
-            inst_map[m] = next_id
-            next_id += 1
+        if m.any() and (inst_map[m] == 0).any():
+            inst_map[m] = iid + 1
     return inst_map
 
 
 def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
                       crop_size: Optional[int] = None, overlap: int = 64,
                       point_nms_dist: float = 12.0, mask_nms_thresh: float = 0.6,
-                      min_area: int = 4) -> np.ndarray:
+                      min_area: int = 0, filtering: bool = False,
+                      write_bank: bool = True) -> np.ndarray:
     """Full-image nuclei instance prediction -> int32 instance map.
 
     Follows the reference's sliding-window flow (``func_2d/function.py:330-627``):
-    per-crop prompter points -> drop points inside already-processed crops ->
-    progressive point NMS over the accumulated set -> decode every surviving
-    point in *each* crop containing it -> per-point keep-best instance ->
-    cross-crop box NMS -> reverse-order paint (:func:`merge_instances`).
+    per-crop prompter points (optionally ``filtering`` by the prompter's
+    semantic mask, ``cfgs.test.filtering``) -> drop points inside
+    already-processed crops -> progressive point NMS over the accumulated
+    set -> decode every surviving point in *each* crop containing it ->
+    per-point keep-best instance -> cross-crop box NMS -> reverse-order paint
+    (:func:`merge_instances`). Like the reference, each decoded crop also
+    writes its union mask memory into the similarity ``bank`` in place
+    (``function.py:511-565``) so later crops/images condition on it —
+    ``write_bank=False`` disables (reads on a pre-trained bank only).
     """
     img = np.asarray(sample["image"], np.float32)
     H, W = img.shape[:2]
@@ -174,7 +201,8 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
     for (x0, y0) in crops:
         x1, y1, x2, y2 = x0, y0, x0 + crop_size, y0 + crop_size
         crop = img[y0:y0 + crop_size, x0:x0 + crop_size]
-        pts, scores = predict_points(params, rcfg, jnp.asarray(crop[None]))
+        pts, scores = predict_points(params, rcfg, jnp.asarray(crop[None]),
+                                     filtering=filtering)
         if len(pts):
             gpts = pts + np.array([x0, y0], np.float32)
             keep = drop_points_in_processed_boxes(gpts, processed_boxes)
@@ -194,20 +222,42 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
             continue
         local = cur_points[in_crop] - np.array([x0, y0], np.float32)
         key, sub = jax.random.split(key)
-        logits, ious = decode_cells(params, cfg, local, bank, sub,
-                                    jnp.asarray(crop[None]),
-                                    bank_nonempty=bool(np.asarray(bank["valid"]).any()))
-        stab = np.asarray(calculate_stability_score(logits, 0.0, 1.0))
+        logits, ious, image_embed, vision_feats = decode_cells(
+            params, cfg, local, bank, sub, jnp.asarray(crop[None]),
+            bank_nonempty=bool(np.asarray(bank["valid"]).any()),
+            return_memory=True)
         binm = logits > 0
+        if write_bank and len(logits):
+            # the reference encodes the binarized union of this crop's decoded
+            # masks and appends/replaces in the similarity bank
+            # (function.py:511-565); writes are deterministic — only reads
+            # sample. Mutates the caller's bank dict in place.
+            from medsam2_tpu.state import similarity_bank as _sb
+            sam_params = params["sam2"] if "sam2" in params else params
+            binary = jnp.asarray(binm.any(0).astype(np.float32))[None, :, :, None]
+            # binarize=True: SAM2Base._encode_new_memory binarizes
+            # point-prompted masks only at EVAL (`not self.training`,
+            # sam2_base.py:676-681) — training applies sigmoid instead
+            maskmem, _ = sam2_model.encode_new_memory(
+                sam_params, cfg, vision_feats[-1],
+                binary.transpose(0, 3, 1, 2), is_mask_from_pts=True,
+                binarize=True)
+            bank.update(_sb.write_similarity_bank(
+                bank, maskmem, jnp.float32(ious.mean()),
+                image_embed.reshape(1, -1).astype(jnp.float32)))
         pids = cur_ids[in_crop]
         for k in range(len(local)):
             m = binm[k]
-            if m.sum() < min_area:
+            if min_area and m.sum() < min_area:
                 continue
             gm = np.zeros((H, W), bool)
             gm[y0:y0 + crop_size, x0:x0 + crop_size] = m
             masks_g.append(gm)
-            mask_scores.append(float(ious[k] * stab[k]))
+            # merge scores are the raw predicted IoUs — mask_post_eval stores
+            # predicted_iou and both merge stages rank by it
+            # (function.py:568-570, 615-620); stability is computed but never
+            # filters at the eval thresholds (0.0)
+            mask_scores.append(float(ious[k]))
             boxes.append(batched_mask_to_box(gm[None])[0])
             mask_pids.append(int(pids[k]))
 

@@ -149,13 +149,13 @@ def get_fast_dice_2(true: np.ndarray, pred: np.ndarray) -> float:
     n_t, n_p = inter.shape
     if n_t == 0 or n_p == 0:
         return 0.0
-    total_markup = 0.0
-    total_intersect = 0.0
-    for i in range(n_t):
-        j = inter[i].argmax()
-        if inter[i, j] > 0:
-            total_intersect += inter[i, j]
-            total_markup += t_areas[i] + p_areas[j]
+    # the reference sums over EVERY overlapping (true, pred) pair — a GT
+    # instance overlapping k preds contributes its area k times, and vice
+    # versa (stats_utils.py:303-317) — not best-pair-per-GT
+    overlap = inter > 0
+    total_intersect = float(inter[overlap].sum())
+    total_markup = float(
+        (overlap * (t_areas[:, None] + p_areas[None, :])).sum())
     return float(2.0 * total_intersect / max(total_markup, 1e-9))
 
 

@@ -64,7 +64,10 @@ def encode_and_condition(params, cfg: SAM2Config, images, bank, key,
         top = conditioned.reshape(B, h, w, C)
     # empty bank: the reference adds a zero parameter (a no-op, ``:87-89``)
 
-    return top, feats[:-1], feats
+    # the reference mutates vision_feats[-1] in place (``:119``), so the
+    # memory encoder downstream sees the CONDITIONED top feature — return the
+    # list with the conditioned top substituted
+    return top, feats[:-1], feats[:-1] + [top]
 
 
 @functools.lru_cache(maxsize=8)

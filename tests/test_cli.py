@@ -145,17 +145,29 @@ def test_nuclei_merge_semantics():
     assert len(np.unique(inst)) == 3          # bg + 2 instances
     assert inst[4, 4] > 0 and inst[8, 8] == 0  # the 0.9 duplicate won
 
-    # reversed paint: lower-score instance paints first; a higher-score mask
-    # touching any painted pixel is skipped entirely (not clipped)
+    # reversed paint (ascending score): the 0.5 mask paints first; the
+    # overlapping 0.9 mask still has uncovered pixels, so the reference
+    # paints its WHOLE extent, overwriting the overlapped pixels
+    # (function.py:624-626: paint unless b_inst_map[mask].all() != 0)
     masks = [box_mask(2, 2, 12, 12), box_mask(10, 10, 20, 20)]
     boxes = np.array([[2, 2, 12, 12], [10, 10, 20, 20]], np.float32)
     scores = np.array([0.9, 0.5], np.float32)
     pids = np.array([0, 1])
     inst = merge_instances(masks, scores, boxes, pids, (H, W), mask_nms_thresh=0.99)
-    # the 0.5 mask (reversed order: painted first) holds its full extent; the
-    # overlapping 0.9 mask is skipped because one of its pixels is taken
-    assert inst[15, 15] > 0
-    assert inst[4, 4] == 0
+    assert inst[15, 15] > 0                       # 0.5 mask keeps its
+    assert inst[4, 4] > 0                         # non-overlapped extent
+    assert inst[11, 11] == inst[4, 4]             # overlap stolen by 0.9 mask
+    assert inst[15, 15] != inst[4, 4]
+    # a mask whose every pixel is already covered is skipped and its
+    # enumeration id is left as a gap (reference numbering)
+    masks = [box_mask(2, 2, 8, 8), box_mask(3, 3, 7, 7)]
+    boxes = np.array([[2, 2, 8, 8], [3, 3, 7, 7]], np.float32)
+    scores = np.array([0.4, 0.9], np.float32)
+    pids = np.array([0, 1])
+    inst = merge_instances(masks, scores, boxes, pids, (H, W), mask_nms_thresh=0.99)
+    # reversed order paints the 0.4 (bigger) mask first as id 1; the 0.9 mask
+    # is fully covered -> skipped
+    assert set(np.unique(inst)) == {0, 1}
 
 
 def test_nuclei_drop_points_in_processed_boxes():
