@@ -506,12 +506,66 @@ def _wait_for_device():
         time.sleep(120)
 
 
+def bench_nuclei():
+    """End-to-end nuclei instance inference (the fork's 2D eval workload):
+    prompter points -> point NMS -> per-cell SAM decode -> similarity-bank
+    write -> cross-crop merge, via ``api.nuclei_inference.predict_instances``
+    on the reference protocol (``func_2d/function.py:268-678``). Reported as
+    images/sec including ALL host-side merging."""
+    import jax
+    from medsam2_tpu.configs import get_config
+    from medsam2_tpu.data.synthetic import synthetic_nuclei
+    from medsam2_tpu.prompter.dpa_p2pnet import PrompterConfig
+    from medsam2_tpu.api.nuclei_inference import predict_instances
+    from medsam2_tpu.state import similarity_bank as sb
+    from medsam2_tpu.train import recipe_nuclei
+
+    preset = os.environ.get("BENCH_PRESET", "nuclei_256")
+    backbone = os.environ.get("BENCH_PROMPTER", "pvt_v2_b2")
+    n_images = int(os.environ.get("BENCH_IMAGES", "8"))
+
+    cfg = get_config(preset)
+    rcfg = recipe_nuclei.NucleiRecipeConfig(
+        prompter=PrompterConfig(backbone=backbone), out_size=cfg.image_size)
+    params = recipe_nuclei.init_joint_params(jax.random.PRNGKey(0), cfg, rcfg)
+    P = cfg.sam_image_embedding_size ** 2
+    bank = sb.init_similarity_bank(rcfg.memory_bank_size, P, cfg.mem_dim,
+                                   P * cfg.hidden_dim)
+    rng = np.random.default_rng(0)
+    samples = [synthetic_nuclei(rng, size=cfg.image_size, num_cells=24)
+               for _ in range(n_images)]
+
+    key = jax.random.PRNGKey(1)
+    # warm the compiles (prompter fwd + chunked decodes + memory encode)
+    key, sub = jax.random.split(key)
+    predict_instances(params, cfg, rcfg, samples[0], bank, sub,
+                      filtering=True)
+    t0 = time.perf_counter()
+    n_inst = 0
+    for s in samples:
+        key, sub = jax.random.split(key)
+        inst = predict_instances(params, cfg, rcfg, s, bank, sub,
+                                 filtering=True)
+        n_inst += int(inst.max())
+    dt = time.perf_counter() - t0
+
+    return {
+        "metric": f"nuclei_e2e_images_per_sec_{preset}_{backbone}",
+        "value": round(n_images / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "vs_baseline_basis": "none (reference publishes no eval-throughput trace)",
+        "sec_per_image": round(dt / n_images, 4),
+        "instances": n_inst,
+    }
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "3d")
     _wait_for_device()
     result = {"3d": bench_3d, "2d": bench_2d, "3d_batch": bench_3d_batch,
               "amg": bench_amg, "train_3d": bench_train_3d,
-              "train_2d": bench_train_2d}[mode]()
+              "train_2d": bench_train_2d, "nuclei": bench_nuclei}[mode]()
     print(json.dumps(result))
 
 

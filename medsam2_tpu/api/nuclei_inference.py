@@ -5,6 +5,7 @@ engine, ``func_2d/function.py:268-678`` and ``crop_with_overlap`` ``:872-907``).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -32,6 +33,61 @@ def crop_with_overlap(h: int, w: int, crop_size: int, overlap: int) -> List[Tupl
     return [(x, y) for y in ys for x in xs]
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_prompter(pcfg):
+    return jax.jit(lambda params, image, sem: prompter_apply(
+        params, pcfg, image, sem)[0])
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_encode(cfg: SAM2Config):
+    def f(sam_params, image, bank, key, bank_nonempty):
+        return encode_and_condition(sam_params, cfg, image, bank, key,
+                                    bank_nonempty, 1)
+    return jax.jit(f, static_argnames=("bank_nonempty",))
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_chunk_decode(cfg: SAM2Config, max_batch: int):
+    S = cfg.image_size
+
+    def f(sam_params, image_embed, high_res, coords, labels):
+        image_pe = sam2_model.prompt_encoder.get_dense_pe(
+            sam_params["sam_prompt_encoder"], cfg)
+        sparse, dense = sam2_model.prompt_encoder.prompt_encoder_apply(
+            sam_params["sam_prompt_encoder"], cfg, points=(coords, labels))
+        idx = jnp.zeros((max_batch,), jnp.int32)
+        low_res, ious, _, _ = sam2_model.mask_decoder.mask_decoder_apply(
+            sam_params["sam_mask_decoder"], cfg, image_embed, image_pe,
+            sparse, dense, multimask_output=False,
+            high_res_features=list(high_res), image_indices=idx,
+            # eval-only path: the reference validates with net.eval() and the
+            # build_sam2 stability-fallback override (func_2d/function.py:271)
+            dynamic_multimask_via_stability=True)
+        up = layers.interpolate(
+            low_res.astype(jnp.float32).transpose(0, 2, 3, 1), (S, S),
+            method="bilinear")[..., 0]
+        return up, ious[:, 0]
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_bank_write(cfg: SAM2Config):
+    from medsam2_tpu.state import similarity_bank as _sb
+
+    def f(sam_params, top_feat, binary_nchw, bank, iou, embed_flat):
+        # binarize=True: SAM2Base._encode_new_memory binarizes point-prompted
+        # masks only at EVAL (`not self.training`, sam2_base.py:676-681) —
+        # training applies sigmoid instead; whether binarize actually fires
+        # is then cfg.binarize_mask_from_pts_for_mem_enc (the fork's 2D
+        # build_sam2 leaves it False -> near-binary sigmoid(20m-10))
+        maskmem, _ = sam2_model.encode_new_memory(
+            sam_params, cfg, top_feat, binary_nchw, is_mask_from_pts=True,
+            binarize=True)
+        return _sb.write_similarity_bank(bank, maskmem, iou, embed_flat)
+    return jax.jit(f)
+
+
 def predict_points(params, rcfg, image: jnp.ndarray,
                    score_thresh: float = 0.5,
                    semantic_feature: Optional[jnp.ndarray] = None,
@@ -42,8 +98,8 @@ def predict_points(params, rcfg, image: jnp.ndarray,
     summed foreground prob — both reference-exact. ``filtering`` additionally
     keeps only points whose pixel is positive in the prompter's semantic mask
     (``utils.py:423-427``). Returns (points [K, 2], scores [K]) numpy."""
-    outputs, _ = prompter_apply(params["prompter"], rcfg.prompter, image,
-                                semantic_feature)
+    outputs = _jit_prompter(rcfg.prompter)(params["prompter"], image,
+                                           semantic_feature)
     logits = np.asarray(outputs["pred_logits"][0], np.float32)
     coords = np.array(outputs["pred_coords"][0], np.float32)  # writable copy
     probs = np.exp(logits - logits.max(-1, keepdims=True))
@@ -71,12 +127,10 @@ def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
     ``return_memory`` (for the eval-time similarity-bank write,
     ``function.py:511-565``)."""
     S = cfg.image_size
-    image_embed, high_res, vision_feats = encode_and_condition(
-        params["sam2"] if "sam2" in params else params, cfg, image, bank, key,
-        bank_nonempty, 1)
     sam_params = params["sam2"] if "sam2" in params else params
-    image_pe = sam2_model.prompt_encoder.get_dense_pe(
-        sam_params["sam_prompt_encoder"], cfg)
+    image_embed, high_res, vision_feats = _jit_encode(cfg)(
+        sam_params, image, bank, key, bank_nonempty=bank_nonempty)
+    chunk_fn = _jit_chunk_decode(cfg, max_batch)
 
     all_masks, all_ious = [], []
     for start in range(0, len(points), max_batch):
@@ -91,21 +145,10 @@ def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
         # must prompt the same way.
         labels = jnp.asarray(
             np.pad(np.zeros(k, np.int32), (0, pad), constant_values=-1)[:, None])
-        sparse, dense = sam2_model.prompt_encoder.prompt_encoder_apply(
-            sam_params["sam_prompt_encoder"], cfg, points=(coords, labels))
-        idx = jnp.zeros((max_batch,), jnp.int32)
-        low_res, ious, _, _ = sam2_model.mask_decoder.mask_decoder_apply(
-            sam_params["sam_mask_decoder"], cfg, image_embed, image_pe,
-            sparse, dense, multimask_output=False, high_res_features=high_res,
-            image_indices=idx,
-            # eval-only path: the reference validates with net.eval() and the
-            # build_sam2 stability-fallback override (func_2d/function.py:271)
-            dynamic_multimask_via_stability=True)
-        up = layers.interpolate(
-            low_res.astype(jnp.float32).transpose(0, 2, 3, 1), (S, S),
-            method="bilinear")[..., 0]
+        up, ious = chunk_fn(sam_params, image_embed, tuple(high_res),
+                            coords, labels)
         all_masks.append(np.asarray(up)[:k])
-        all_ious.append(np.asarray(ious)[:k, 0])
+        all_ious.append(np.asarray(ious)[:k])
     if not all_masks:
         out = (np.zeros((0, S, S), np.float32), np.zeros((0,), np.float32))
     else:
@@ -232,18 +275,11 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
             # masks and appends/replaces in the similarity bank
             # (function.py:511-565); writes are deterministic — only reads
             # sample. Mutates the caller's bank dict in place.
-            from medsam2_tpu.state import similarity_bank as _sb
             sam_params = params["sam2"] if "sam2" in params else params
             binary = jnp.asarray(binm.any(0).astype(np.float32))[None, :, :, None]
-            # binarize=True: SAM2Base._encode_new_memory binarizes
-            # point-prompted masks only at EVAL (`not self.training`,
-            # sam2_base.py:676-681) — training applies sigmoid instead
-            maskmem, _ = sam2_model.encode_new_memory(
-                sam_params, cfg, vision_feats[-1],
-                binary.transpose(0, 3, 1, 2), is_mask_from_pts=True,
-                binarize=True)
-            bank.update(_sb.write_similarity_bank(
-                bank, maskmem, jnp.float32(ious.mean()),
+            bank.update(_jit_bank_write(cfg)(
+                sam_params, vision_feats[-1], binary.transpose(0, 3, 1, 2),
+                bank, jnp.float32(ious.mean()),
                 image_embed.reshape(1, -1).astype(jnp.float32)))
         pids = cur_ids[in_crop]
         for k in range(len(local)):

@@ -71,6 +71,11 @@ def parse_args(argv=None):
                         help='static cell slots for the nuclei recipe')
     parser.add_argument('-steps_per_epoch', type=int, default=0,
                         help='cap steps per epoch (0 = full dataset)')
+    parser.add_argument('-point_filtering', action='store_true',
+                        help='nuclei eval: keep only prompter points whose '
+                             'pixel is positive in the semantic mask (the '
+                             "reference's cfgs.test.filtering, "
+                             'modeling/utils.py:423-427)')
     parser.add_argument('-profile', action='store_true',
                         help='capture a jax.profiler trace of the first steps')
     parser.add_argument('-logdir', type=str, default='logs')

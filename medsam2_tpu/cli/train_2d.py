@@ -231,7 +231,9 @@ def validate_nuclei(args, cfg, rcfg, params, val_ds, bank, key) -> Dict[str, flo
         if inst_map is None:
             continue
         key, sub = jax.random.split(key)
-        pred_inst = predict_instances(params, cfg, rcfg, s, bank, sub)
+        pred_inst = predict_instances(
+            params, cfg, rcfg, s, bank, sub,
+            filtering=bool(getattr(args, "point_filtering", False)))
         gt = remap_label(inst_map)
         pr = remap_label(pred_inst)
         if getattr(args, "vis", False):
