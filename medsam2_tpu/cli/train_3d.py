@@ -59,24 +59,41 @@ def build_dataset(args, mode: str):
                prompt=args.prompt, seed=args.seed)
 
 
+def _bce_pos_weight2(logits: np.ndarray, targets: np.ndarray) -> float:
+    """Mean BCE-with-logits at pos_weight=2 — the reference's validation
+    ``lossfunc = criterion_G`` (``func_3d/function.py:14,208,300``), computed
+    stably in float64 on the host."""
+    x = np.asarray(logits, np.float64)
+    y = np.asarray(targets, np.float64)
+    sp_neg = np.logaddexp(0.0, -x)  # -log sigmoid(x)
+    sp_pos = np.logaddexp(0.0, x)   # -log(1 - sigmoid(x))
+    return float((2.0 * y * sp_neg + (1.0 - y) * sp_pos).mean())
+
+
 def validation_sam(args, cfg, params, val_loader, logger,
                    sample_dir: str = None) -> Dict[str, float]:
     """Validation loop (``func_3d/function.py:198-314``): prompt every
-    prompt_freq-th frame, propagate, threshold-averaged IoU/Dice; optional
-    per-frame figure dumps under ``sample_dir`` when ``-vis`` is set
-    (``func_3d/function.py:288-298``)."""
+    prompt_freq-th frame, propagate from frame 0, threshold-averaged IoU/Dice
+    plus the BCE(pos_weight=2) validation loss. Each volume's sums are
+    normalized by its own ``len(frame_id) * len(obj_list)`` before the
+    over-loader mean (``function.py:300-306`` — NOT a global per-pair mean),
+    and the loader-length denominator counts skipped no-object packs
+    (``n_val = len(val_loader)``, ``function.py:202``). Optional per-frame
+    figure dumps under ``sample_dir`` when ``-vis`` is set
+    (``function.py:288-298``)."""
     from medsam2_tpu.api.video_predictor import SAM2VideoPredictor
 
     pred = SAM2VideoPredictor(params, cfg)
-    tot_iou, tot_dice, n = 0.0, 0.0, 0
+    tot_iou, tot_dice, tot_loss, n_val = 0.0, 0.0, 0.0, 0
     for batch in val_loader:
         for sample in batch:
+            n_val += 1
             imgs = sample["image"]  # [T, 3, S, S]
-            state = pred.val_init_state(imgs)
             T = imgs.shape[0]
             obj_ids = sorted({o for t in sample["label"] for o in sample["label"][t]})
             if not obj_ids:
                 continue
+            state = pred.val_init_state(imgs)
             for t in range(0, T, args.prompt_freq):
                 for obj in obj_ids:
                     if "pt" in sample and obj in sample["pt"].get(t, {}):
@@ -97,17 +114,20 @@ def validation_sam(args, cfg, params, val_loader, logger,
                         pred.add_new_mask(state, t, obj,
                                           np.zeros(imgs.shape[2:], np.float32))
             name = sample["image_meta_dict"]["filename_or_obj"]
-            for frame_idx, ids, masks in pred.propagate_in_video(state):
+            vol_iou, vol_dice, vol_loss, pairs = 0.0, 0.0, 0.0, 0
+            for frame_idx, ids, masks in pred.propagate_in_video(
+                    state, start_frame_idx=0):
                 masks = np.asarray(masks, np.float32)  # [O, 1, H, W]
                 for oi, obj in enumerate(ids):
                     gt = sample["label"].get(frame_idx, {}).get(obj)
                     gt = gt.astype(np.float32) if gt is not None else np.zeros(
                         masks.shape[2:], np.float32)[None]
+                    vol_loss += _bce_pos_weight2(masks[oi:oi + 1], gt[None])
                     iou, dice = eval_seg(masks[oi:oi + 1], gt[None],
                                          (0.1, 0.3, 0.5, 0.7, 0.9))
-                    tot_iou += iou
-                    tot_dice += dice
-                    n += 1
+                    vol_iou += iou
+                    vol_dice += dice
+                    pairs += 1
                     if args.vis and sample_dir is not None:
                         import os
                         from medsam2_tpu.utils.visualization import vis_image
@@ -115,7 +135,12 @@ def validation_sam(args, cfg, params, val_loader, logger,
                                   os.path.join(sample_dir, str(name), str(frame_idx),
                                                f"{obj}.png"))
             pred.reset_state(state)
-    return {"iou": tot_iou / max(n, 1), "dice": tot_dice / max(n, 1)}
+            if pairs:
+                tot_iou += vol_iou / pairs
+                tot_dice += vol_dice / pairs
+                tot_loss += vol_loss / pairs
+    d = max(n_val, 1)
+    return {"loss": tot_loss / d, "iou": tot_iou / d, "dice": tot_dice / d}
 
 
 def main(argv=None):
