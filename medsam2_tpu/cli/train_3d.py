@@ -86,8 +86,11 @@ def validation_sam(args, cfg, params, val_loader, logger,
     pred = SAM2VideoPredictor(params, cfg)
     tot_iou, tot_dice, tot_loss, n_val = 0.0, 0.0, 0.0, 0
     for batch in val_loader:
+        # n_val counts BATCHES (the reference's ``n_val = len(val_loader)``,
+        # func_3d/function.py:202), not samples — they coincide at the
+        # reference's val batch_size=1 but diverge otherwise.
+        n_val += 1
         for sample in batch:
-            n_val += 1
             imgs = sample["image"]  # [T, 3, S, S]
             T = imgs.shape[0]
             obj_ids = sorted({o for t in sample["label"] for o in sample["label"][t]})
@@ -131,7 +134,9 @@ def validation_sam(args, cfg, params, val_loader, logger,
                     if args.vis and sample_dir is not None:
                         import os
                         from medsam2_tpu.utils.visualization import vis_image
-                        vis_image(imgs[frame_idx], masks[oi, 0] > 0, gt[0],
+                        # the reference thresholds RAW LOGITS at 0.5 — the
+                        # sigmoid is commented out (func_3d/function.py:291)
+                        vis_image(imgs[frame_idx], masks[oi, 0] > 0.5, gt[0],
                                   os.path.join(sample_dir, str(name), str(frame_idx),
                                                f"{obj}.png"))
             pred.reset_state(state)

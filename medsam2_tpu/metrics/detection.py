@@ -47,8 +47,11 @@ def tpfp_points(det_points: np.ndarray, gt_points: np.ndarray,
     """TP/FP flags for point detections (``eval_map.py:56-...`` semantics).
 
     det_points: [N, 3] (x, y, score); gt_points: [M, 2].
-    Greedy by descending score: a det is TP if its nearest unmatched GT is
-    within ``dis_thr``.
+    Reference semantics (``eval_map.py:120-150``): each det's candidate GT is
+    its globally NEAREST one (precomputed, independent of coverage); greedy by
+    descending score, a det is TP if that nearest GT is within ``dis_thr`` and
+    not yet covered, FP if it is covered or out of range — a second det whose
+    nearest GT is taken does NOT re-match to another in-range GT.
     """
     det_points = np.asarray(det_points, np.float64)
     gt_points = np.asarray(gt_points, np.float64)
@@ -61,15 +64,19 @@ def tpfp_points(det_points: np.ndarray, gt_points: np.ndarray,
         fp[:] = 1
         return tp, fp
     order = np.argsort(-det_points[:, 2], kind="stable")
-    matched = np.zeros(len(gt_points), bool)
+    covered = np.zeros(len(gt_points), bool)
     dists = np.linalg.norm(
         det_points[:, None, :2] - gt_points[None, :, :], axis=-1)
+    dist_min = dists.min(axis=1)
+    dist_argmin = dists.argmin(axis=1)
     for i in order:
-        cand = np.where(~matched, dists[i], np.inf)
-        j = int(np.argmin(cand))
-        if cand[j] <= dis_thr:
-            tp[i] = 1
-            matched[j] = True
+        if dist_min[i] <= dis_thr:
+            j = dist_argmin[i]
+            if not covered[j]:
+                covered[j] = True
+                tp[i] = 1
+            else:
+                fp[i] = 1
         else:
             fp[i] = 1
     return tp, fp
