@@ -95,8 +95,13 @@ def _bench_3d_at(image_size, num_frames, num_obj, preset):
                   track_in_reverse=False, kv_storage=kv_storage)
         m, _ = pred._scan_run(*args, **kw)
         jax.block_until_ready(m)
+        # best-of-N (default 5): the scan is ONE dispatch, so extra reps are
+        # cheap, and min is the right estimator under the tunnel's additive
+        # one-sided RTT noise (r4 driver capture read 2-8% below the builder's
+        # same-day numbers at 3 reps)
+        reps = int(os.environ.get("BENCH_REPS", "5"))
         best = 1e9
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             m, _ = pred._scan_run(*args, **kw)
             # force full execution with a device-side reduction (transferring
@@ -251,7 +256,7 @@ def bench_3d_batch():
     m = f(videos, coords, labels)
     float(jnp.sum(m))
     best = 1e9
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_REPS", "5"))):
         t0 = time.perf_counter()
         m = f(videos, coords, labels)
         float(jnp.sum(m))
@@ -387,7 +392,7 @@ def bench_train_3d():
     params, opt_state, metrics = step(params, opt_state, batch)
     jax.block_until_ready(metrics["loss"])
     best = 1e9
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_REPS", "5"))):
         t0 = time.perf_counter()
         params, opt_state, metrics = step(params, opt_state, batch)
         float(metrics["loss"])
@@ -453,7 +458,7 @@ def bench_train_2d():
                                             sub, bank_nonempty=False)
     jax.block_until_ready(metrics["loss"])
     best = 1e9
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_REPS", "5"))):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, bank, metrics = step(params, opt_state, batch, bank,

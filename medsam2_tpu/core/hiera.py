@@ -24,6 +24,7 @@ import numpy as np
 from medsam2_tpu.configs import HieraConfig
 from medsam2_tpu.core import layers
 from medsam2_tpu.ops.attention import attention
+from medsam2_tpu.ops.fused_mlp import ln_mlp_residual
 
 
 # NOTE (measured, v5e): packing G tiny windows into one block-diagonal masked
@@ -300,9 +301,7 @@ def _block_apply(bp, x, spec):
         att = _window_attention_dot6d(bp["attn"], x, spec["num_heads"],
                                       dim_out, window_size)
         x = shortcut + att
-        x = x + layers.mlp_apply(bp["mlp"],
-                                 layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
-                                 activation=layers.gelu)
+        x = ln_mlp_residual(x, bp["norm2"], bp["mlp"], eps=1e-6)
         return x
 
     if _use_fused_window(window_size, q_stride):
@@ -317,9 +316,7 @@ def _block_apply(bp, x, spec):
         if ph or pw:
             out = out[:, :H, :W]
         x = shortcut + layers.linear_apply(bp["attn"]["proj"], out)
-        x = x + layers.mlp_apply(bp["mlp"],
-                                 layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
-                                 activation=layers.gelu)
+        x = ln_mlp_residual(x, bp["norm2"], bp["mlp"], eps=1e-6)
         return x
 
     H, W = x.shape[1], x.shape[2]
@@ -345,8 +342,7 @@ def _block_apply(bp, x, spec):
         x = layers.window_unpartition(x, out_ws, pad_hw, (H, W))
 
     x = shortcut + x
-    x = x + layers.mlp_apply(bp["mlp"], layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
-                             activation=layers.gelu)
+    x = ln_mlp_residual(x, bp["norm2"], bp["mlp"], eps=1e-6)
     return x
 
 
@@ -365,9 +361,7 @@ def _block_apply_windows(bp, wins, spec):
             shortcut = layers.max_pool2d(shortcut, q_stride, q_stride)
     x = _attention_block(bp["attn"], x, spec, q_stride)
     x = shortcut + x
-    x = x + layers.mlp_apply(bp["mlp"],
-                             layers.layer_norm_apply(bp["norm2"], x, eps=1e-6),
-                             activation=layers.gelu)
+    x = ln_mlp_residual(x, bp["norm2"], bp["mlp"], eps=1e-6)
     return x
 
 
