@@ -541,16 +541,18 @@ def bench_nuclei():
                for _ in range(n_images)]
 
     key = jax.random.PRNGKey(1)
+    # filtering=False (the predict_instances default): with random weights the
+    # semantic filter starves the decode/merge path (1 instance across 8
+    # images measured), so the bench decodes every NMS-surviving prompt --
+    # the workload a trained prompter produces (func_2d/function.py:330-627)
     # warm the compiles (prompter fwd + chunked decodes + memory encode)
     key, sub = jax.random.split(key)
-    predict_instances(params, cfg, rcfg, samples[0], bank, sub,
-                      filtering=True)
+    predict_instances(params, cfg, rcfg, samples[0], bank, sub)
     t0 = time.perf_counter()
     n_inst = 0
     for s in samples:
         key, sub = jax.random.split(key)
-        inst = predict_instances(params, cfg, rcfg, s, bank, sub,
-                                 filtering=True)
+        inst = predict_instances(params, cfg, rcfg, s, bank, sub)
         n_inst += int(inst.max())
     dt = time.perf_counter() - t0
 

@@ -48,7 +48,7 @@ def _jit_encode(cfg: SAM2Config):
 
 
 @functools.lru_cache(maxsize=8)
-def _jit_chunk_decode(cfg: SAM2Config, max_batch: int):
+def _jit_chunk_decode(cfg: SAM2Config, max_batch: int, packed: bool = False):
     S = cfg.image_size
 
     def f(sam_params, image_embed, high_res, coords, labels):
@@ -67,6 +67,12 @@ def _jit_chunk_decode(cfg: SAM2Config, max_batch: int):
         up = layers.interpolate(
             low_res.astype(jnp.float32).transpose(0, 2, 3, 1), (S, S),
             method="bilinear")[..., 0]
+        if packed:
+            # the instance pipeline only consumes `logits > 0` — pack the
+            # thresholded masks on-device (uint8, 32x less tunnel transfer
+            # than the fp32 logit stack; same trick as the AMG decode path,
+            # automatic_mask_generator.py:336-350)
+            return jnp.packbits(up > 0, axis=-1), ious[:, 0]
         return up, ious[:, 0]
     return jax.jit(f)
 
@@ -121,16 +127,20 @@ def predict_points(params, rcfg, image: jnp.ndarray,
 
 def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
                  image: jnp.ndarray, bank_nonempty: bool, max_batch: int = 64,
-                 return_memory: bool = False):
+                 return_memory: bool = False, binary: bool = False):
     """SAM decode of one mask per point. Returns (masks [K, S, S] logits,
     ious [K]) numpy — plus (image_embed, vision_feats) when
     ``return_memory`` (for the eval-time similarity-bank write,
-    ``function.py:511-565``)."""
+    ``function.py:511-565``).
+
+    ``binary=True`` thresholds (``> 0``) and bit-packs the masks ON DEVICE
+    and returns bool masks instead of logits — exact for every consumer of
+    ``logits > 0`` while transferring 32x less over the device link."""
     S = cfg.image_size
     sam_params = params["sam2"] if "sam2" in params else params
     image_embed, high_res, vision_feats = _jit_encode(cfg)(
         sam_params, image, bank, key, bank_nonempty=bank_nonempty)
-    chunk_fn = _jit_chunk_decode(cfg, max_batch)
+    chunk_fn = _jit_chunk_decode(cfg, max_batch, packed=binary)
 
     all_masks, all_ious = [], []
     for start in range(0, len(points), max_batch):
@@ -147,10 +157,15 @@ def decode_cells(params, cfg: SAM2Config, points: np.ndarray, bank, key,
             np.pad(np.zeros(k, np.int32), (0, pad), constant_values=-1)[:, None])
         up, ious = chunk_fn(sam_params, image_embed, tuple(high_res),
                             coords, labels)
-        all_masks.append(np.asarray(up)[:k])
+        if binary:
+            m = np.unpackbits(np.asarray(up), axis=-1, count=S)[:k].astype(bool)
+        else:
+            m = np.asarray(up)[:k]
+        all_masks.append(m)
         all_ious.append(np.asarray(ious)[:k])
     if not all_masks:
-        out = (np.zeros((0, S, S), np.float32), np.zeros((0,), np.float32))
+        out = (np.zeros((0, S, S), bool if binary else np.float32),
+               np.zeros((0,), np.float32))
     else:
         out = (np.concatenate(all_masks), np.concatenate(all_ious))
     if return_memory:
@@ -265,20 +280,19 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
             continue
         local = cur_points[in_crop] - np.array([x0, y0], np.float32)
         key, sub = jax.random.split(key)
-        logits, ious, image_embed, vision_feats = decode_cells(
+        binm, ious, image_embed, vision_feats = decode_cells(
             params, cfg, local, bank, sub, jnp.asarray(crop[None]),
             bank_nonempty=bool(np.asarray(bank["valid"]).any()),
-            return_memory=True)
-        binm = logits > 0
-        if write_bank and len(logits):
+            return_memory=True, binary=True)
+        if write_bank and len(binm):
             # the reference encodes the binarized union of this crop's decoded
             # masks and appends/replaces in the similarity bank
             # (function.py:511-565); writes are deterministic — only reads
             # sample. Mutates the caller's bank dict in place.
             sam_params = params["sam2"] if "sam2" in params else params
-            binary = jnp.asarray(binm.any(0).astype(np.float32))[None, :, :, None]
+            union = jnp.asarray(binm.any(0).astype(np.float32))[None, :, :, None]
             bank.update(_jit_bank_write(cfg)(
-                sam_params, vision_feats[-1], binary.transpose(0, 3, 1, 2),
+                sam_params, vision_feats[-1], union.transpose(0, 3, 1, 2),
                 bank, jnp.float32(ious.mean()),
                 image_embed.reshape(1, -1).astype(jnp.float32)))
         pids = cur_ids[in_crop]

@@ -16,6 +16,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the 8-device CPU-mesh tests pay ~1-2 min
+# compiles whose graphs rarely change between runs; caching them holds the
+# suite's wall time down (VERDICT r4 task 5). Local-only dir (gitignored).
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".pytest_xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 
