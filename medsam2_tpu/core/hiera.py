@@ -23,6 +23,7 @@ import numpy as np
 
 from medsam2_tpu.configs import HieraConfig
 from medsam2_tpu.core import layers
+from medsam2_tpu.ops import fused_block
 from medsam2_tpu.ops.attention import attention
 from medsam2_tpu.ops.fused_mlp import ln_mlp_residual
 
@@ -351,6 +352,10 @@ def _block_apply_windows(bp, wins, spec):
     when the spatial extent divides the window size (no padding). Exact same
     math as :func:`_block_apply`: layer norm, MLP and residuals are per-token;
     attention and q-pooling are window-local (``hieradet.py:136-168``)."""
+    if (fused_block.fused_block_enabled()
+            and jax.default_backend() == "tpu"
+            and fused_block.fused_window_block_supported(bp, spec, wins.shape)):
+        return fused_block.fused_window_block(wins, bp, spec)
     q_stride = spec["q_stride"]
     dim, dim_out = spec["dim"], spec["dim_out"]
     shortcut = wins

@@ -42,6 +42,14 @@ def fused_mlp_enabled() -> bool:
     return os.environ.get("MEDSAM2_FUSED_MLP", "0") == "1"
 
 
+def _max_channels() -> int:
+    """Channel cap for the fused path: the kernel targets the
+    bandwidth-bound early stages (hiera_t C=96/192 at 65k/16k tokens); the
+    matmul-bound late stages (C=384/768 at 4k/1k tokens) keep XLA's fused
+    matmul+GELU lowering. 0 = no cap."""
+    return int(os.environ.get("MEDSAM2_FUSED_MLP_MAXC", "0"))
+
+
 def _reference(x2d, norm_p, mlp_p, eps):
     y = layers.layer_norm_apply(norm_p, x2d, eps=eps)
     return x2d + layers.mlp_apply(mlp_p, y, activation=layers.gelu)
@@ -134,11 +142,13 @@ def ln_mlp_residual(x, norm_p, mlp_p, eps: float = 1e-6):
     rows = 1
     for d in x.shape[:-1]:
         rows *= int(d)
+    maxc = _max_channels()
     use = (fused_mlp_enabled()
            and jax.default_backend() == "tpu"
            and len(mlp_p["layers"]) == 2
            and "b" in mlp_p["layers"][0] and "b" in mlp_p["layers"][1]
-           and _pick_block(rows) != 0)
+           and _pick_block(rows) != 0
+           and (maxc == 0 or C <= maxc))
     if not use:
         return x + layers.mlp_apply(
             mlp_p, layers.layer_norm_apply(norm_p, x, eps=eps),
