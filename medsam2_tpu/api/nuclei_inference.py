@@ -242,9 +242,15 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
     (``function.py:511-565``) so later crops/images condition on it —
     ``write_bank=False`` disables (reads on a pre-trained bank only).
     """
+    import os
+
     img = np.asarray(sample["image"], np.float32)
     H, W = img.shape[:2]
     crop_size = crop_size or cfg.image_size
+    # decode-chunk size: each chunk is one jitted dispatch (+ one result pull
+    # over the device link), so bigger chunks amortize dispatch and batch the
+    # decoder wider on the MXU; 64 mirrors the reference's loop granularity
+    max_batch = int(os.environ.get("MEDSAM2_NUCLEI_CHUNK", "64"))
 
     crops = crop_with_overlap(H, W, crop_size, overlap)
     processed_boxes: List[Tuple[int, int, int, int]] = []
@@ -283,7 +289,7 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
         binm, ious, image_embed, vision_feats = decode_cells(
             params, cfg, local, bank, sub, jnp.asarray(crop[None]),
             bank_nonempty=bool(np.asarray(bank["valid"]).any()),
-            return_memory=True, binary=True)
+            max_batch=max_batch, return_memory=True, binary=True)
         if write_bank and len(binm):
             # the reference encodes the binarized union of this crop's decoded
             # masks and appends/replaces in the similarity bank
