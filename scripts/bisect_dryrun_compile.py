@@ -40,9 +40,12 @@ def main():
         image_size=64,
         compute_dtype="float32",
     )
-    rcfg = recipe_3d.Recipe3DConfig(video_length=4, prompt_freq=2, num_objects=2,
-                                    max_cond_frames=2,
-                                    remat=os.environ.get("BISECT_REMAT", "enc_saved"))
+    rcfg = recipe_3d.Recipe3DConfig(
+        video_length=int(os.environ.get("BISECT_T", "4")),
+        prompt_freq=2,
+        num_objects=int(os.environ.get("BISECT_O", "2")),
+        max_cond_frames=2,
+        remat=os.environ.get("BISECT_REMAT", "enc_saved"))
     sharded = os.environ.get("BISECT_SHARDED", "1") == "1"
     n = 8
     model_axis = 2
