@@ -46,6 +46,36 @@ def main():
                                  NI._jit_bank_write)
     NI.predict_points = lambda *a, **k: timed("prompter", orig_pp, *a, **k)
     NI.decode_cells = lambda *a, **k: timed("decode", orig_dc, *a, **k)
+    # sub-stages inside decode_cells: encode+condition vs per-chunk decode
+    # (timers include the host pull, i.e. device wait + transfer)
+    orig_enc, orig_chunk = NI._jit_encode, NI._jit_chunk_decode
+
+    def enc_timed(cfg):
+        f = orig_enc(cfg)
+
+        def g(*a, **k):
+            out = timed("decode/encode", f, *a, **k)
+            T["decode/encode_sync"] += -time.perf_counter()
+            jax.block_until_ready(out)
+            T["decode/encode_sync"] += time.perf_counter()
+            C["decode/encode_sync"] += 1
+            return out
+        return g
+
+    def chunk_timed(cfg, mb, packed=False):
+        f = orig_chunk(cfg, mb, packed)
+
+        def g(*a, **k):
+            out = timed("decode/chunk_dispatch", f, *a, **k)
+            T["decode/chunk_sync"] += -time.perf_counter()
+            jax.block_until_ready(out)
+            T["decode/chunk_sync"] += time.perf_counter()
+            C["decode/chunk_sync"] += 1
+            return out
+        return g
+
+    NI._jit_encode = enc_timed
+    NI._jit_chunk_decode = chunk_timed
     NI._jit_bank_write = lambda c: (lambda *a: timed("bank_write",
                                                      orig_bw(c), *a))
     orig_nms = NI.point_nms_np

@@ -19,6 +19,9 @@ done
 run python -u scripts/profile_glue.py 1024
 run python -u scripts/profile_nuclei.py 4
 run env MEDSAM2_NUCLEI_CHUNK=256 BENCH_MODE=nuclei python -u bench.py
+# multi-object scaling: 4 objects share one encoder pass; mem-attn/heads
+# batch 4-wide (the reference's only trace is its multi-object DROP)
+run env BENCH_MODE=3d BENCH_OBJECTS=4 BENCH_SKIP_768=1 python -u bench.py
 # final headline (library defaults, best-of-5 reps, includes fps_768)
 run env BENCH_MODE=3d python -u bench.py
 echo "BATCH C DONE $(date -u)" >> "$LOG"
