@@ -545,9 +545,14 @@ def bench_nuclei():
     # semantic filter starves the decode/merge path (1 instance across 8
     # images measured), so the bench decodes every NMS-surviving prompt --
     # the workload a trained prompter produces (func_2d/function.py:330-627)
-    # warm the compiles (prompter fwd + chunked decodes + memory encode)
-    key, sub = jax.random.split(key)
-    predict_instances(params, cfg, rcfg, samples[0], bank, sub)
+    # warm the compiles (prompter fwd + chunked decodes + memory encode).
+    # TWO passes: the first leaves the similarity bank nonempty, so only the
+    # second reaches the bank_nonempty=True encode variant — warming once
+    # left that compile inside the timed loop (~10 s amortized over the run,
+    # measured as 2.55 s/img of "encode dispatch" by profile_nuclei.py)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        predict_instances(params, cfg, rcfg, samples[0], bank, sub)
     t0 = time.perf_counter()
     n_inst = 0
     for s in samples:
