@@ -634,18 +634,24 @@ def _use_flash(q_len: int, kv_len: int, head_dim: int) -> bool:
     return q_len >= 1024 and kv_len >= 1024 and head_dim >= 64
 
 
-def _flash_blocks(q_len: int, kv_len: int, dv: int = 0, itemsize: int = 4):
+def _flash_blocks(q_len: int, kv_len: int, dv: int = 0, itemsize: int = 4,
+                  bh: int = 1):
     """Measured on v5e (scripts/calibrate_overhead.py, profile_crossattn.py):
     long-kv cross attention prefers tall q blocks; with low-rank values
     (dv <= 128) the smaller V/acc footprint lets the kv block double to 1024,
     which is the fastest config (0.585 ms vs 0.748 at the @1024 memory shape —
     dv256 OOMs VMEM there); square self/global attention prefers wide kv
-    blocks (512/1024)."""
+    blocks (512/1024).
+
+    ``bh`` (batch*heads): at bh >= 4 the 2048-tall q block overflows the
+    16 MB scoped VMEM by ~0.2 MB at the @1024 memory shape (measured:
+    4-object propagation OOM'd where 1-2 objects fit) — drop to 1024."""
     if kv_len >= 2 * q_len:
+        bq_tall = 2048 if bh < 4 else 1024
         if dv and dv <= 128 and itemsize <= 2:
-            bq, bk = 2048, 1024   # only fits VMEM for 2-byte inputs
+            bq, bk = bq_tall, 1024   # only fits VMEM for 2-byte inputs
         else:
-            bq, bk = 2048, 512
+            bq, bk = bq_tall, 512
     else:
         bq, bk = 512, 1024
     # never pad a sequence past its 512-aligned length just to fill a block
@@ -663,7 +669,8 @@ def attention(q, k, v, kv_mask=None, scale=None, force: Optional[str] = None):
     """
     if force == "flash" or (force is None and _use_flash(q.shape[2], k.shape[2], q.shape[3])):
         bq, bk = _flash_blocks(q.shape[2], k.shape[2], v.shape[3],
-                               jnp.dtype(q.dtype).itemsize)
+                               jnp.dtype(q.dtype).itemsize,
+                               bh=q.shape[0] * q.shape[1])
         return flash_attention(q, k, v, kv_mask=kv_mask, scale=scale,
                                block_q=bq, block_k=bk)
     return sdpa_xla(q, k, v, kv_mask=kv_mask, scale=scale)
