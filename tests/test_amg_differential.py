@@ -23,6 +23,10 @@ bilinear tensor resize) is installed into ``sys.modules`` before the
 reference modules import.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # executed-reference differential: heavy CPU compiles, run in the separate `-m slow` lane
+
 import sys
 import types
 

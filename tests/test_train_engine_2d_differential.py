@@ -30,6 +30,10 @@ batch+spatial with smooth=0, eps=1e-7) per the published 0.6.x source —
 the stub is the torch-side oracle the JAX losses must match.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # executed-reference differential: heavy CPU compiles, run in the separate `-m slow` lane
+
 import importlib
 import sys
 import types

@@ -22,6 +22,10 @@ module-level ``pos_weight`` transfer. At run time the module's ``torch``
 global is the same cuda->cpu proxy the predictor differentials use.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # executed-reference differential: heavy CPU compiles, run in the separate `-m slow` lane
+
 import importlib
 import sys
 import types

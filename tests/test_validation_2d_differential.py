@@ -24,6 +24,10 @@ mode of ``predict()``, eval-time bank writes, and the memory encoder
 consuming the memory-CONDITIONED top feature.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # executed-reference differential: heavy CPU compiles, run in the separate `-m slow` lane
+
 import importlib
 import sys
 import types

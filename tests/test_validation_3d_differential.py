@@ -21,6 +21,10 @@ a bbox prompt only on frame 0, so prompt frame 2 falls through to the
 zero-mask ``train_add_new_mask`` branch (``function.py:119-127``).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # executed-reference differential: heavy CPU compiles, run in the separate `-m slow` lane
+
 import types
 
 import numpy as np

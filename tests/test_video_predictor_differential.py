@@ -26,6 +26,10 @@ installs a module-local torch proxy mapping cuda -> cpu and an identity
 ``Tensor.cuda`` so the reference's own code runs unmodified on CPU.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # executed-reference differential: heavy CPU compiles, run in the separate `-m slow` lane
+
 import numpy as np
 import pytest
 import jax
