@@ -265,7 +265,11 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
     for (x0, y0) in crops:
         x1, y1, x2, y2 = x0, y0, x0 + crop_size, y0 + crop_size
         crop = img[y0:y0 + crop_size, x0:x0 + crop_size]
-        pts, scores = predict_points(params, rcfg, jnp.asarray(crop[None]),
+        # one host->device upload per crop, shared by the prompter and the
+        # SAM decode (the e2e cost is transfer-dominated: chip compute for a
+        # 256-px crop is ~1 ms total, scripts/profile_nuclei.py + BASELINE)
+        crop_dev = jnp.asarray(crop[None])
+        pts, scores = predict_points(params, rcfg, crop_dev,
                                      filtering=filtering)
         if len(pts):
             gpts = pts + np.array([x0, y0], np.float32)
@@ -287,7 +291,7 @@ def predict_instances(params, cfg: SAM2Config, rcfg, sample: Dict, bank, key,
         local = cur_points[in_crop] - np.array([x0, y0], np.float32)
         key, sub = jax.random.split(key)
         binm, ious, image_embed, vision_feats = decode_cells(
-            params, cfg, local, bank, sub, jnp.asarray(crop[None]),
+            params, cfg, local, bank, sub, crop_dev,
             bank_nonempty=bool(np.asarray(bank["valid"]).any()),
             max_batch=max_batch, return_memory=True, binary=True)
         if write_bank and len(binm):
